@@ -1,0 +1,143 @@
+"""Render configuration.
+
+The reference splits configuration in two tiers (SURVEY.md §5): serialized
+MonoBehaviour fields (``Assets/Scripts/PathTracer.cs:24-50``) and shader
+``multi_compile`` keyword variants (``PathTracer.compute:6-9``).  Here the
+same split maps onto JAX's compilation model:
+
+* :class:`RenderConfig` — frozen, hashable dataclass passed as a *static*
+  ``jit`` argument.  Changing any field triggers a recompile, exactly like
+  switching a shader variant (HAS_TLAS / HAS_TEXTURES / HAS_ENVIRONMENT_TEXTURE
+  / HAS_LIGHTS become booleans here).
+* :class:`RenderParams` — a pytree of traced uniforms (camera matrices, env
+  intensity, seeds, ...), mirroring the per-frame ``SetVector``/``SetFloat``
+  uniform uploads (``PathTracer.cs:230-249``).  Changing these never
+  recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Sky modes (common.hlsl:85-86)
+SKY_MODE_ENVIRONMENT = 0
+SKY_MODE_BASIC = 1
+
+# Tonemap modes (Presentation.shader:42-56)
+TONEMAP_NONE = 0
+TONEMAP_ACES = 1
+TONEMAP_FILMIC = 2
+TONEMAP_REINHARD = 3
+TONEMAP_LOTTES = 4
+
+# Alpha modes (common.hlsl:88-90)
+ALPHA_MODE_OPAQUE = 0
+ALPHA_MODE_BLEND = 1
+ALPHA_MODE_MASK = 2
+
+# Light types (common.hlsl:137-145)
+LIGHT_TYPE_SPOT = 0
+LIGHT_TYPE_DIRECTIONAL = 1
+LIGHT_TYPE_POINT = 2
+LIGHT_TYPE_RECTANGLE = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) render configuration.
+
+    Defaults follow the reference MonoBehaviour defaults
+    (``PathTracer.cs:24-50``): samplesPerPass=1, maxRayBounces=5, RR on,
+    firefly filter off.
+    """
+
+    width: int = 512
+    height: int = 512
+    samples_per_pass: int = 1
+    max_bounces: int = 5
+    use_russian_roulette: bool = True
+    use_firefly_filter: bool = False
+    sky_mode: int = SKY_MODE_BASIC
+
+    # Feature flags = shader multi_compile variants (PathTracer.compute:6-9).
+    has_environment_texture: bool = False
+    has_lights: bool = False
+    has_textures: bool = False
+    has_tlas: bool = False
+
+    # Thin-lens DoF active (camera.hlsl:22). Static so the pinhole path
+    # compiles without the lens sampling code, like Aperture==0 in-kernel.
+    use_depth_of_field: bool = False
+
+    # Traversal backend: "bruteforce" | "bvh2" | "mbvh" | "cwbvh".
+    traversal: str = "mbvh"
+
+    # Integrator: "megakernel" (lax.scan bounce loop, correctness reference)
+    # or "wavefront" (ray pool + regeneration; the TPU-native design).
+    integrator: str = "megakernel"
+
+    # Wavefront pool size (rays resident per step); 0 = auto (width*height).
+    pool_size: int = 0
+
+    dtype: Any = jnp.float32
+
+    def pixel_count(self) -> int:
+        return self.width * self.height
+
+
+def _f32(x):
+    return jnp.asarray(x, dtype=jnp.float32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class RenderParams:
+    """Traced per-frame uniforms (the reference's cbuffer uniforms).
+
+    ``cam_to_world`` / ``cam_inv_proj`` mirror ``CamToWorld``/``CamInvProj``
+    (camera.hlsl:7-8); environment fields mirror ``PathTracer.cs:230-249``.
+    """
+
+    cam_to_world: jnp.ndarray          # (4,4)
+    cam_inv_proj: jnp.ndarray          # (4,4)
+    aperture: jnp.ndarray = dataclasses.field(default_factory=lambda: _f32(0.0))
+    focal_length: jnp.ndarray = dataclasses.field(default_factory=lambda: _f32(0.0))
+    environment_intensity: jnp.ndarray = dataclasses.field(default_factory=lambda: _f32(1.0))
+    environment_rotation: jnp.ndarray = dataclasses.field(default_factory=lambda: _f32(0.0))
+    environment_color: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: _f32(np.array([0.5, 0.5, 0.5]))
+    )
+    max_firefly_luminance: jnp.ndarray = dataclasses.field(default_factory=lambda: _f32(100.0))
+    seed_root: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0, dtype=jnp.uint32)
+    )
+
+    def tree_flatten(self):
+        fields = dataclasses.fields(self)
+        return tuple(getattr(self, f.name) for f in fields), tuple(f.name for f in fields)
+
+    @classmethod
+    def tree_unflatten(cls, names, values):
+        return cls(**dict(zip(names, values)))
+
+
+@dataclasses.dataclass(frozen=True)
+class PostParams:
+    """Presentation blit parameters (``Presentation.shader:19-27``).
+
+    Python-level (host) config: the post chain is cheap and re-jits per
+    tonemap mode like the reference's shader variants.
+    """
+
+    mode: int = TONEMAP_ACES
+    srgb: bool = True
+    exposure: float = 1.0
+    brightness: float = 1.0
+    contrast: float = 1.0
+    saturation: float = 1.0
+    vignette: float = 0.0
