@@ -1,0 +1,32 @@
+"""Compute-path ops: intersection, BVH traversal, Pallas kernels.
+
+``get_intersectors(config)`` dispatches on ``RenderConfig.traversal`` and
+returns ``(closest_hit_fn, any_hit_fn)`` with the uniform signatures::
+
+    closest(scene, origins (B,3), directions (B,3)) -> (t, bary, slot)
+    occluded(scene, origins, directions, t_max) -> bool (B,)
+
+``slot`` indexes rows of ``scene.tris`` (BVH build order); attribute rows are
+``scene.tri_index[slot]``.  ``t`` is FAR_PLANE on miss.
+"""
+
+from __future__ import annotations
+
+from unity_webgpu_pathtracer_tpu.ops import intersect as _bf
+
+
+def get_intersectors(config):
+    if config.traversal == "bruteforce":
+        return _bf.closest_hit_bruteforce, _bf.occluded_bruteforce
+    if config.traversal in ("bvh2", "mbvh"):
+        from unity_webgpu_pathtracer_tpu.ops import traverse_mbvh
+
+        return traverse_mbvh.closest_hit, traverse_mbvh.occluded
+    raise ValueError(f"unknown traversal backend {config.traversal!r}")
+
+
+def build_scene_bvh(positions):
+    """Host-side BVH build entry used by Scene.build (accel package)."""
+    from unity_webgpu_pathtracer_tpu.accel import build_scene_bvh as _b
+
+    return _b(positions)

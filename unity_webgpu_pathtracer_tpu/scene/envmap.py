@@ -1,0 +1,125 @@
+"""Equirectangular HDRI environment with luminance-CDF importance sampling.
+
+The reference reads the env texture back to the CPU and builds a flat
+inclusive prefix-sum of per-texel grayscale (``PathTracer.cs:299-307``); the
+kernel binary-searches it row-then-column (``util/sky.hlsl:7-41``).  Here the
+CDF is the same flat row-major prefix sum, but sampling uses a single
+``jnp.searchsorted`` (XLA lowers it to a vectorized branchless binary
+search), and the equirect mapping is made *self-consistent* between eval and
+sample (the reference flips V between the two paths — an upstream quirk noted
+in SURVEY.md — which would break MIS weights; we use the EvalEnvMap
+convention ``v = 1 - θ/π`` everywhere).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from unity_webgpu_pathtracer_tpu.utils.math import INV_PI, INV_TWO_PI, PI, TWO_PI, luminance
+
+
+class EnvMap(NamedTuple):
+    """Device-resident environment data (pytree)."""
+
+    image: jnp.ndarray     # (H, W, 3) float32 linear radiance
+    cdf: jnp.ndarray       # (H*W,) inclusive prefix sum of luminance
+    cdf_sum: jnp.ndarray   # () total luminance
+
+
+def build_envmap(image: np.ndarray) -> EnvMap:
+    """Build the flat luminance CDF (``PathTracer.cs:299-307`` semantics)."""
+    img = np.asarray(image, np.float32)
+    lum = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+    cdf = np.cumsum(lum.reshape(-1), dtype=np.float64).astype(np.float32)
+    return EnvMap(
+        image=jnp.asarray(img),
+        cdf=jnp.asarray(cdf),
+        cdf_sum=jnp.asarray(cdf[-1] if cdf.size else 0.0, jnp.float32),
+    )
+
+
+def _bilinear_wrap(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """GPU-style bilinear sample with wrap addressing, texel centers at .5."""
+    h, w = image.shape[0], image.shape[1]
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    x1i = jnp.mod(x0i + 1, w)
+    y1i = jnp.mod(y0i + 1, h)
+    p00 = image[y0i, x0i]
+    p10 = image[y0i, x1i]
+    p01 = image[y1i, x0i]
+    p11 = image[y1i, x1i]
+    return (p00 * (1 - fx) + p10 * fx) * (1 - fy) + (p01 * (1 - fx) + p11 * fx) * fy
+
+
+def eval_env_map(env: EnvMap, directions: jnp.ndarray, intensity, rotation):
+    """Radiance + pdf for directions hitting the sky (``sky.hlsl:43-64``).
+
+    Returns ``(color·intensity (B,3), pdf (B,))``.
+    """
+    h, w = env.image.shape[0], env.image.shape[1]
+    d = directions
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    phi_atan = jnp.arctan2(d[..., 2], d[..., 0])
+    uv = jnp.stack(
+        [(PI + phi_atan) * INV_TWO_PI + rotation, 1.0 - theta * INV_PI], axis=-1
+    )
+    color = _bilinear_wrap(env.image, uv)
+    sin_theta = jnp.sin(theta)
+    pdf = (
+        luminance(color)
+        / jnp.maximum(env.cdf_sum, 1e-20)
+        * (w * h)
+        / jnp.maximum(TWO_PI * PI * sin_theta, 1e-8)
+    )
+    pdf = jnp.where(sin_theta <= 0.0, 0.0, pdf)
+    return color * jnp.asarray(intensity)[..., None], pdf
+
+
+def sample_env_map(env: EnvMap, rotation, state):
+    """Inverse-CDF direction sample (``sky.hlsl:66-88``).
+
+    Returns ``(direction (B,3), color (B,3), pdf (B,), new_state)``.
+    """
+    from unity_webgpu_pathtracer_tpu.utils import rng as urng
+
+    h, w = env.image.shape[0], env.image.shape[1]
+    u, state = urng.random_float(state)
+    target = u * env.cdf_sum
+    idx = jnp.clip(jnp.searchsorted(env.cdf, target, side="right"), 0, w * h - 1)
+    x = (idx % w).astype(jnp.float32)
+    y = (idx // w).astype(jnp.float32)
+    uv = jnp.stack([(x + 0.5) / w, (y + 0.5) / h], axis=-1)
+    color = _bilinear_wrap(env.image, uv)
+    pdf = luminance(color) / jnp.maximum(env.cdf_sum, 1e-20)
+
+    theta = (1.0 - uv[..., 1]) * PI
+    phi = (uv[..., 0] - rotation) * TWO_PI
+    sin_theta = jnp.sin(theta)
+    direction = jnp.stack(
+        [-sin_theta * jnp.cos(phi), jnp.cos(theta), -sin_theta * jnp.sin(phi)],
+        axis=-1,
+    )
+    pdf = pdf * (w * h) / jnp.maximum(TWO_PI * PI * sin_theta, 1e-8)
+    pdf = jnp.where(sin_theta <= 0.0, 0.0, pdf)
+    return direction, color, pdf, state
+
+
+def empty_envmap() -> EnvMap:
+    """Placeholder keeping SceneData a fixed pytree when no HDRI is bound."""
+    return EnvMap(
+        image=jnp.zeros((1, 1, 3), jnp.float32),
+        cdf=jnp.ones((1,), jnp.float32),
+        cdf_sum=jnp.asarray(1.0, jnp.float32),
+    )

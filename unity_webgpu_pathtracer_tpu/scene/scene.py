@@ -1,0 +1,149 @@
+"""Scene container: host-side assembly -> flat device arrays.
+
+``Scene`` plays the role of the reference's ``BVHScene``
+(``Assets/Scripts/util/BVHScene.cs``): it gathers meshes, packs
+materials/textures/lights, drives the BVH/TLAS build and owns the flat
+arrays the integrator consumes.  ``SceneData`` is the device-side pytree —
+the analogue of the bound GPU buffers (``BVHScene.PrepareShader``,
+``BVHScene.cs:140-167``) — with static shapes so it jits cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from unity_webgpu_pathtracer_tpu.scene import lights as ulights
+from unity_webgpu_pathtracer_tpu.scene import material as umaterial
+from unity_webgpu_pathtracer_tpu.scene import texture as utexture
+from unity_webgpu_pathtracer_tpu.scene.envmap import EnvMap, build_envmap, empty_envmap
+from unity_webgpu_pathtracer_tpu.scene.mesh import FlatTriangles, Mesh, concat_flat, flatten_mesh
+
+
+class SceneData(NamedTuple):
+    """Device-resident flat scene arrays (all shapes static)."""
+
+    # Geometry: [e2,e1,v0] records + per-triangle attributes.
+    tris: jnp.ndarray            # (M, 9) float32
+    tri_index: jnp.ndarray       # (M,) int32 -> attribute row (BVH reorders)
+    attr_normals: jnp.ndarray    # (T, 9) float32 (3 vertices x 3)
+    attr_tangents: jnp.ndarray   # (T, 9)
+    attr_uvs: jnp.ndarray        # (T, 6)
+    attr_material: jnp.ndarray   # (T,) int32
+
+    # Shading tables.
+    materials: jnp.ndarray       # (NM, 32) float32
+    texture_data: jnp.ndarray    # (K,) uint32 atlas
+    lights: jnp.ndarray          # (L, 16) float32
+    env: EnvMap
+
+    # 8-wide MBVH (SoA): bounds laid out [lox·8, loy·8, loz·8, hix·8, hiy·8, hiz·8].
+    bvh_bounds: jnp.ndarray      # (N, 48) float32
+    bvh_child: jnp.ndarray       # (N, 8) int32 (see accel.mbvh encoding)
+
+    # TLAS (Aila-Laine 2-wide) + instances.
+    tlas_nodes: jnp.ndarray      # (NT, 16) float32
+    tlas_index: jnp.ndarray      # (I,) int32
+    inst_l2w: jnp.ndarray        # (I, 12) float32 row-major 3x4
+    inst_w2l: jnp.ndarray        # (I, 12) float32
+    inst_offsets: jnp.ndarray    # (I, 4) int32 [node_off, tri_off, attr_off, material]
+
+    @property
+    def light_count(self) -> int:
+        return int(self.lights.shape[0])
+
+
+@dataclasses.dataclass
+class Scene:
+    """Host-side scene under construction."""
+
+    meshes: list = dataclasses.field(default_factory=list)        # (Mesh, transform|None)
+    materials: list = dataclasses.field(default_factory=list)     # MaterialDesc
+    lights: list = dataclasses.field(default_factory=list)        # LightDesc
+    textures: list = dataclasses.field(default_factory=list)      # np images
+    env_image: np.ndarray | None = None
+    # Instancing: (mesh_key, transform, material_index) for TLAS mode.
+    instances: list = dataclasses.field(default_factory=list)
+
+    def add_material(self, desc: umaterial.MaterialDesc) -> int:
+        self.materials.append(desc)
+        return len(self.materials) - 1
+
+    def add_texture(self, image: np.ndarray) -> int:
+        self.textures.append(image)
+        return len(self.textures) - 1
+
+    def add_mesh(self, mesh: Mesh, transform: np.ndarray | None = None) -> int:
+        self.meshes.append((mesh, transform))
+        return len(self.meshes) - 1
+
+    def add_instance(self, mesh_id: int, transform: np.ndarray,
+                     material_index: int | None = None) -> int:
+        self.instances.append((mesh_id, np.asarray(transform, np.float32), material_index))
+        return len(self.instances) - 1
+
+    def add_light(self, desc: ulights.LightDesc) -> int:
+        self.lights.append(desc)
+        return len(self.lights) - 1
+
+    def set_environment(self, image: np.ndarray) -> None:
+        self.env_image = np.asarray(image, np.float32)
+
+    # ------------------------------------------------------------------
+    def flatten(self) -> FlatTriangles:
+        """World-space flattened triangle soup (non-TLAS path)."""
+        if not self.meshes:
+            raise ValueError("scene has no meshes")
+        parts = [flatten_mesh(mesh, transform) for mesh, transform in self.meshes]
+        return concat_flat(parts)
+
+    def build(self, traversal: str = "mbvh") -> SceneData:
+        """Compile to device arrays; builds the acceleration structure.
+
+        ``traversal``: "bruteforce" skips the BVH (empty node arrays);
+        "bvh2"/"mbvh"/"cwbvh" run the host builder (accel package).
+        """
+        flat = self.flatten()
+        tris = flat.tri_records()
+        m = flat.count
+        tri_index = np.arange(m, dtype=np.int32)
+
+        if traversal != "bruteforce":
+            from unity_webgpu_pathtracer_tpu.accel import build_scene_bvh
+
+            bounds, child, order = build_scene_bvh(flat.positions)
+            tris = tris[order]
+            tri_index = tri_index[order].astype(np.int32)
+        else:
+            bounds = np.zeros((1, 48), np.float32)
+            child = np.zeros((1, 8), np.int32)
+
+        materials = umaterial.pack_materials(self.materials or [umaterial.MaterialDesc()])
+        atlas = utexture.build_atlas(self.textures)
+        light_table = (
+            ulights.pack_lights(self.lights) if self.lights else np.zeros((0, 16), np.float32)
+        )
+        env = build_envmap(self.env_image) if self.env_image is not None else empty_envmap()
+
+        return SceneData(
+            tris=jnp.asarray(tris),
+            tri_index=jnp.asarray(tri_index),
+            attr_normals=jnp.asarray(flat.normals.reshape(m, 9)),
+            attr_tangents=jnp.asarray(flat.tangents.reshape(m, 9)),
+            attr_uvs=jnp.asarray(flat.uvs.reshape(m, 6)),
+            attr_material=jnp.asarray(flat.material),
+            materials=jnp.asarray(materials),
+            texture_data=jnp.asarray(atlas),
+            lights=jnp.asarray(light_table),
+            env=env,
+            bvh_bounds=jnp.asarray(bounds),
+            bvh_child=jnp.asarray(child),
+            tlas_nodes=jnp.zeros((0, 16), jnp.float32),
+            tlas_index=jnp.zeros((0,), jnp.int32),
+            inst_l2w=jnp.zeros((0, 12), jnp.float32),
+            inst_w2l=jnp.zeros((0, 12), jnp.float32),
+            inst_offsets=jnp.zeros((0, 4), jnp.int32),
+        )
