@@ -1,0 +1,305 @@
+// Native BVH builder: binned-SAH BVH2 + 8-wide MBVH collapse.
+//
+// TPU-native counterpart of the reference's tinybvh C plugin
+// (Assets/Plugins/Web/plugin.cpp) — same role (host-side acceleration
+// structure construction, called through an FFI boundary), new
+// implementation emitting the SoA node layout the TPU traversal consumes
+// (see unity_webgpu_pathtracer_tpu/accel/mbvh.py for the format contract):
+//   bounds[n*48 .. ] = [lox*8 | loy*8 | loz*8 | hix*8 | hiy*8 | hiz*8]
+//   child[n*8 + k]   = 0 empty, c>0 inner node (c-1), c<0 leaf -(off*16+cnt)
+//
+// Algorithm: 8-bin SAH sweep per axis (same family as tiny_bvh.h:2292-2380),
+// leaves capped at `leaf_size` triangles, collapse grows each wide node by
+// expanding the largest-surface-area inner child until 8 slots are filled.
+
+#include <algorithm>
+#include <cfloat>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kBins = 8;
+constexpr int kWidth = 8;
+constexpr int kLeafCntBits = 16;
+
+struct V3 {
+  float x, y, z;
+  float operator[](int i) const { return i == 0 ? x : (i == 1 ? y : z); }
+};
+
+static inline V3 vmin(const V3& a, const V3& b) {
+  return {std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z)};
+}
+static inline V3 vmax(const V3& a, const V3& b) {
+  return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)};
+}
+static inline float area(const V3& lo, const V3& hi) {
+  float dx = std::max(hi.x - lo.x, 0.f);
+  float dy = std::max(hi.y - lo.y, 0.f);
+  float dz = std::max(hi.z - lo.z, 0.f);
+  return dx * dy + dy * dz + dz * dx;
+}
+
+struct Node2 {
+  V3 lo, hi;
+  int left = -1;   // right = left + 1
+  int start = 0;
+  int count = 0;   // >0 -> leaf
+};
+
+struct Builder {
+  const float* pos;
+  int tri_count;
+  int leaf_size;
+  std::vector<V3> tlo, thi, cent;
+  std::vector<int> order;
+  std::vector<Node2> nodes;
+
+  void tri_bounds() {
+    tlo.resize(tri_count);
+    thi.resize(tri_count);
+    cent.resize(tri_count);
+    for (int i = 0; i < tri_count; ++i) {
+      const float* p = pos + i * 9;
+      V3 a{p[0], p[1], p[2]}, b{p[3], p[4], p[5]}, c{p[6], p[7], p[8]};
+      tlo[i] = vmin(vmin(a, b), c);
+      thi[i] = vmax(vmax(a, b), c);
+      cent[i] = {(tlo[i].x + thi[i].x) * 0.5f, (tlo[i].y + thi[i].y) * 0.5f,
+                 (tlo[i].z + thi[i].z) * 0.5f};
+    }
+  }
+
+  void build() {
+    tri_bounds();
+    order.resize(tri_count);
+    for (int i = 0; i < tri_count; ++i) order[i] = i;
+    nodes.reserve(2 * tri_count + 1);
+    nodes.emplace_back();
+    struct Item { int node, lo, hi; };
+    std::vector<Item> stack{{0, 0, tri_count}};
+    while (!stack.empty()) {
+      Item it = stack.back();
+      stack.pop_back();
+      subdivide(it.node, it.lo, it.hi, stack);
+    }
+  }
+
+  template <typename Stack>
+  void subdivide(int ni, int lo, int hi, Stack& stack) {
+    V3 blo{FLT_MAX, FLT_MAX, FLT_MAX}, bhi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+    V3 clo{FLT_MAX, FLT_MAX, FLT_MAX}, chi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+    for (int i = lo; i < hi; ++i) {
+      int t = order[i];
+      blo = vmin(blo, tlo[t]);
+      bhi = vmax(bhi, thi[t]);
+      clo = vmin(clo, cent[t]);
+      chi = vmax(chi, cent[t]);
+    }
+    Node2& nd = nodes[ni];
+    nd.lo = blo;
+    nd.hi = bhi;
+    int n = hi - lo;
+    if (n <= leaf_size) {
+      nd.start = lo;
+      nd.count = n;
+      return;
+    }
+
+    // Binned SAH over centroid extent, all 3 axes.
+    float best_cost = FLT_MAX;
+    int best_axis = -1, best_bin = -1;
+    float best_scale = 0.f, best_orig = 0.f;
+    for (int axis = 0; axis < 3; ++axis) {
+      float ext = chi[axis] - clo[axis];
+      if (ext <= 1e-12f) continue;
+      float scale = kBins * (1.0f - 1e-6f) / ext;
+      int cnt[kBins] = {0};
+      V3 binlo[kBins], binhi[kBins];
+      for (int b = 0; b < kBins; ++b) {
+        binlo[b] = {FLT_MAX, FLT_MAX, FLT_MAX};
+        binhi[b] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+      }
+      for (int i = lo; i < hi; ++i) {
+        int t = order[i];
+        int b = std::min(int((cent[t][axis] - clo[axis]) * scale), kBins - 1);
+        cnt[b]++;
+        binlo[b] = vmin(binlo[b], tlo[t]);
+        binhi[b] = vmax(binhi[b], thi[t]);
+      }
+      // Left/right sweeps.
+      float sal[kBins], sar[kBins];
+      int nl[kBins], nr[kBins];
+      V3 acc_lo{FLT_MAX, FLT_MAX, FLT_MAX}, acc_hi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+      int acc_n = 0;
+      for (int b = 0; b < kBins; ++b) {
+        acc_lo = vmin(acc_lo, binlo[b]);
+        acc_hi = vmax(acc_hi, binhi[b]);
+        acc_n += cnt[b];
+        sal[b] = area(acc_lo, acc_hi);
+        nl[b] = acc_n;
+      }
+      acc_lo = {FLT_MAX, FLT_MAX, FLT_MAX};
+      acc_hi = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+      acc_n = 0;
+      for (int b = kBins - 1; b >= 0; --b) {
+        acc_lo = vmin(acc_lo, binlo[b]);
+        acc_hi = vmax(acc_hi, binhi[b]);
+        acc_n += cnt[b];
+        sar[b] = area(acc_lo, acc_hi);
+        nr[b] = acc_n;
+      }
+      for (int b = 0; b < kBins - 1; ++b) {
+        if (nl[b] == 0 || nr[b + 1] == 0) continue;
+        float cost = sal[b] * nl[b] + sar[b + 1] * nr[b + 1];
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_axis = axis;
+          best_bin = b;
+          best_scale = scale;
+          best_orig = clo[axis];
+        }
+      }
+    }
+
+    int mid;
+    if (best_axis < 0) {
+      // Degenerate centroids: median split on the longest axis.
+      int axis = 0;
+      V3 ext{chi.x - clo.x, chi.y - clo.y, chi.z - clo.z};
+      if (ext.y > ext[axis]) axis = 1;
+      if (ext.z > ext[axis]) axis = 2;
+      mid = lo + n / 2;
+      std::nth_element(order.begin() + lo, order.begin() + mid, order.begin() + hi,
+                       [&](int a, int b) { return cent[a][axis] < cent[b][axis]; });
+    } else {
+      float parent_area = area(blo, bhi);
+      float cost_split = 1.0f + best_cost / std::max(parent_area, 1e-20f);
+      if (cost_split >= float(n) && n <= 2 * leaf_size) {
+        nd.start = lo;
+        nd.count = n;
+        return;
+      }
+      auto side = [&](int t) {
+        int b = std::min(int((cent[t][best_axis] - best_orig) * best_scale), kBins - 1);
+        return b <= best_bin;
+      };
+      int i = lo, j = hi - 1;
+      while (i <= j) {
+        if (side(order[i])) { ++i; }
+        else { std::swap(order[i], order[j]); --j; }
+      }
+      mid = i;
+      if (mid == lo || mid == hi) mid = lo + n / 2;  // safety
+    }
+
+    int li = (int)nodes.size();
+    nodes.emplace_back();
+    nodes.emplace_back();
+    nodes[ni].left = li;
+    stack.push_back({li, lo, mid});
+    stack.push_back({li + 1, mid, hi});
+  }
+};
+
+struct Collapser {
+  const Builder& b;
+  std::vector<float>& bounds;
+  std::vector<int32_t>& child;
+  std::vector<float> sa;
+
+  int emit(int c0, int c1) {
+    int my = (int)(child.size() / kWidth);
+    bounds.resize(bounds.size() + 48, 0.f);
+    child.resize(child.size() + kWidth, 0);
+
+    int kids[kWidth];
+    int nk = 0;
+    kids[nk++] = c0;
+    kids[nk++] = c1;
+    while (nk < kWidth) {
+      int grow = -1;
+      float best = -1.f;
+      for (int i = 0; i < nk; ++i) {
+        int k = kids[i];
+        if (b.nodes[k].count == 0 && sa[k] > best) {
+          best = sa[k];
+          grow = i;
+        }
+      }
+      if (grow < 0) break;
+      int k = kids[grow];
+      kids[grow] = b.nodes[k].left;
+      kids[nk++] = b.nodes[k].left + 1;
+    }
+
+    float* row = bounds.data() + (size_t)my * 48;
+    for (int a = 0; a < 3; ++a)
+      for (int s = 0; s < kWidth; ++s) {
+        row[a * kWidth + s] = FLT_MAX;          // lo
+        row[(3 + a) * kWidth + s] = -FLT_MAX;   // hi
+      }
+    for (int s = 0; s < nk; ++s) {
+      const Node2& nd = b.nodes[kids[s]];
+      row[0 * kWidth + s] = nd.lo.x;
+      row[1 * kWidth + s] = nd.lo.y;
+      row[2 * kWidth + s] = nd.lo.z;
+      row[3 * kWidth + s] = nd.hi.x;
+      row[4 * kWidth + s] = nd.hi.y;
+      row[5 * kWidth + s] = nd.hi.z;
+      if (nd.count > 0) {
+        child[(size_t)my * kWidth + s] =
+            -(int32_t)((int64_t)nd.start * kLeafCntBits + nd.count);
+      } else {
+        int sub = emit(nd.left, nd.left + 1);
+        // `row` may dangle after reallocation inside emit(); re-derive it.
+        row = bounds.data() + (size_t)my * 48;
+        child[(size_t)my * kWidth + s] = sub + 1;
+      }
+    }
+    return my;
+  }
+};
+
+}  // namespace
+
+extern "C" int build_mbvh8(const float* positions, int tri_count, int leaf_size,
+                           float* out_bounds, int32_t* out_child,
+                           int32_t* out_order, int node_capacity) {
+  if (tri_count <= 0 || leaf_size <= 0 || leaf_size >= kLeafCntBits) return -1;
+  Builder bld{positions, tri_count, leaf_size};
+  bld.build();
+
+  std::vector<float> bounds;
+  std::vector<int32_t> child;
+  Collapser col{bld, bounds, child, {}};
+  col.sa.resize(bld.nodes.size());
+  for (size_t i = 0; i < bld.nodes.size(); ++i)
+    col.sa[i] = area(bld.nodes[i].lo, bld.nodes[i].hi);
+
+  if (bld.nodes[0].count > 0) {
+    // Single-leaf scene.
+    bounds.assign(48, 0.f);
+    child.assign(kWidth, 0);
+    for (int a = 0; a < 3; ++a)
+      for (int s = 0; s < kWidth; ++s) {
+        bounds[a * kWidth + s] = FLT_MAX;
+        bounds[(3 + a) * kWidth + s] = -FLT_MAX;
+      }
+    const Node2& nd = bld.nodes[0];
+    bounds[0 * kWidth] = nd.lo.x; bounds[1 * kWidth] = nd.lo.y; bounds[2 * kWidth] = nd.lo.z;
+    bounds[3 * kWidth] = nd.hi.x; bounds[4 * kWidth] = nd.hi.y; bounds[5 * kWidth] = nd.hi.z;
+    child[0] = -(int32_t)((int64_t)nd.start * kLeafCntBits + nd.count);
+  } else {
+    col.emit(bld.nodes[0].left, bld.nodes[0].left + 1);
+  }
+
+  int n = (int)(child.size() / kWidth);
+  if (n > node_capacity) return -1;
+  std::memcpy(out_bounds, bounds.data(), bounds.size() * sizeof(float));
+  std::memcpy(out_child, child.data(), child.size() * sizeof(int32_t));
+  std::memcpy(out_order, bld.order.data(), bld.order.size() * sizeof(int32_t));
+  return n;
+}

@@ -1,0 +1,31 @@
+"""Acceleration structures: BVH2 binned-SAH build, 8-wide MBVH collapse,
+CWBVH quantized format, TLAS over instances.
+
+Builders run on the host once per scene (like the reference's tinybvh C
+plugin, ``Assets/Plugins/Web/plugin.cpp``) and emit flat arrays consumed by
+the device traversal ops.  A C++ builder (``native/``) accelerates large
+scenes; the numpy implementation is the always-available reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_scene_bvh(positions: np.ndarray, leaf_size: int = 4):
+    """Build the 8-wide MBVH for a triangle soup.
+
+    Args:
+        positions: (F, 3, 3) triangle vertices.
+    Returns:
+        (bounds (N, 48) f32, child (N, 8) i32, order (F,) — triangle
+        permutation to apply to the flat arrays).
+    """
+    from unity_webgpu_pathtracer_tpu.accel import bvh2, mbvh
+    from unity_webgpu_pathtracer_tpu.accel.native import native_build_or_none
+
+    native = native_build_or_none(positions, leaf_size)
+    if native is not None:
+        return native
+    nodes = bvh2.build_bvh2(positions, leaf_size=leaf_size)
+    return mbvh.collapse_to_mbvh8(nodes)

@@ -1,0 +1,81 @@
+"""ctypes binding to the native C++ BVH builder (``native/bvh_builder.cpp``).
+
+The reference builds BVHs in a C plugin called through P/Invoke
+(``Assets/Scripts/util/TinyBVH.cs``); here the native builder is optional —
+``native_build_or_none`` returns None when the shared library is missing and
+the numpy builder takes over.  Build with ``make -C native`` (see
+``native/Makefile``); the import also attempts a one-time build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libtpubvh.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True, capture_output=True, timeout=300,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.build_mbvh8.restype = ctypes.c_int
+    lib.build_mbvh8.argtypes = [
+        ctypes.POINTER(ctypes.c_float),   # positions (F*9)
+        ctypes.c_int,                     # tri count
+        ctypes.c_int,                     # leaf size
+        ctypes.POINTER(ctypes.c_float),   # out bounds (cap*48)
+        ctypes.POINTER(ctypes.c_int),     # out child (cap*8)
+        ctypes.POINTER(ctypes.c_int),     # out order (F)
+        ctypes.c_int,                     # node capacity
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_build_or_none(positions: np.ndarray, leaf_size: int = 4):
+    lib = _load()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(np.asarray(positions, np.float32).reshape(-1, 9))
+    f = pos.shape[0]
+    cap = max(2 * f, 16)
+    bounds = np.empty((cap, 48), np.float32)
+    child = np.empty((cap, 8), np.int32)
+    order = np.empty((f,), np.int32)
+    n = lib.build_mbvh8(
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        f, leaf_size,
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        child.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cap,
+    )
+    if n <= 0:
+        return None
+    return bounds[:n].copy(), child[:n].copy(), order
