@@ -41,7 +41,9 @@ from unity_webgpu_pathtracer_tpu.utils.math import EPSILON, luminance
 ALPHA_SLACK = 8
 
 
-class _TraceState(NamedTuple):
+class PathState(NamedTuple):
+    """Per-lane path state shared by the megakernel and wavefront integrators."""
+
     origin: jnp.ndarray
     direction: jnp.ndarray
     radiance: jnp.ndarray
@@ -51,17 +53,25 @@ class _TraceState(NamedTuple):
     prev_pdf: jnp.ndarray
     max_roughness: jnp.ndarray
     depth: jnp.ndarray
-    iteration: jnp.ndarray
 
 
-def _where(mask, a, b):
-    if a.ndim == b.ndim + 1 or (a.ndim > 1 and mask.ndim == a.ndim - 1):
-        mask = mask[..., None]
-    return jnp.where(mask, a, b)
+def new_path_state(origins, directions, rng_state) -> PathState:
+    b = origins.shape[0]
+    return PathState(
+        origin=origins,
+        direction=directions,
+        radiance=jnp.zeros((b, 3), origins.dtype),
+        throughput=jnp.ones((b, 3), origins.dtype),
+        rng=rng_state,
+        alive=jnp.ones((b,), bool),
+        prev_pdf=jnp.zeros((b,), origins.dtype),
+        max_roughness=jnp.zeros((b,), origins.dtype),
+        depth=jnp.zeros((b,), jnp.int32),
+    )
 
 
-def trace_bounce(scene, config: RenderConfig, params: RenderParams, s: _TraceState,
-                 closest_fn, occluded_fn) -> _TraceState:
+def trace_bounce(scene, config: RenderConfig, params: RenderParams, s: PathState,
+                 closest_fn, occluded_fn) -> PathState:
     """One bounce for all lanes (body of ``pathtrace.hlsl:25-128``)."""
     alive = s.alive
 
@@ -150,7 +160,7 @@ def trace_bounce(scene, config: RenderConfig, params: RenderParams, s: _TraceSta
         )
         alive = alive & ~killed
 
-    return _TraceState(
+    return PathState(
         origin=origin,
         direction=direction,
         radiance=radiance,
@@ -160,7 +170,6 @@ def trace_bounce(scene, config: RenderConfig, params: RenderParams, s: _TraceSta
         prev_pdf=prev_pdf,
         max_roughness=max_roughness,
         depth=depth,
-        iteration=s.iteration + 1,
     )
 
 
@@ -168,28 +177,18 @@ def path_trace(scene, config: RenderConfig, params: RenderParams,
                origins, directions, rng_state):
     """Trace a ray batch to completion; returns ``(radiance (B,3), rng)``."""
     closest_fn, occluded_fn = get_intersectors(config)
-    b = origins.shape[0]
-    init = _TraceState(
-        origin=origins,
-        direction=directions,
-        radiance=jnp.zeros((b, 3), origins.dtype),
-        throughput=jnp.ones((b, 3), origins.dtype),
-        rng=rng_state,
-        alive=jnp.ones((b,), bool),
-        prev_pdf=jnp.zeros((b,), origins.dtype),
-        max_roughness=jnp.zeros((b,), origins.dtype),
-        depth=jnp.zeros((b,), jnp.int32),
-        iteration=jnp.asarray(0, jnp.int32),
-    )
+    init = (new_path_state(origins, directions, rng_state), jnp.asarray(0, jnp.int32))
     max_iters = config.max_bounces + 1 + ALPHA_SLACK
 
-    def cond(s):
-        return jnp.any(s.alive) & (s.iteration < max_iters)
+    def cond(carry):
+        s, it = carry
+        return jnp.any(s.alive) & (it < max_iters)
 
-    def body(s):
-        return trace_bounce(scene, config, params, s, closest_fn, occluded_fn)
+    def body(carry):
+        s, it = carry
+        return trace_bounce(scene, config, params, s, closest_fn, occluded_fn), it + 1
 
-    final = jax.lax.while_loop(cond, body, init)
+    final, _ = jax.lax.while_loop(cond, body, init)
     return final.radiance, final.rng
 
 
