@@ -265,6 +265,80 @@ struct Collapser {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Skip-pointer linearization (ops/traverse_skip.py format): 8 octant DFS
+// orders; node row = [lo.xyz, hi.xyz, leaf_code(int), skip(int)].
+// ---------------------------------------------------------------------------
+extern "C" int build_skip_bvh(const float* positions, int tri_count,
+                              int leaf_size, float* out_nodes,
+                              int32_t* out_order, int node_capacity) {
+  if (tri_count <= 0 || leaf_size <= 0 || leaf_size >= kLeafCntBits) return -1;
+  Builder bld{positions, tri_count, leaf_size};
+  bld.build();
+  const int n = (int)bld.nodes.size();
+  if (n > node_capacity) return -1;
+
+  // Split axis per inner node from child centroid separation.
+  std::vector<int> axis(n, 0);
+  for (int i = 0; i < n; ++i) {
+    const Node2& nd = bld.nodes[i];
+    if (nd.count > 0) continue;
+    const Node2 &l = bld.nodes[nd.left], &r = bld.nodes[nd.left + 1];
+    float dx = std::fabs((r.lo.x + r.hi.x) - (l.lo.x + l.hi.x));
+    float dy = std::fabs((r.lo.y + r.hi.y) - (l.lo.y + l.hi.y));
+    float dz = std::fabs((r.lo.z + r.hi.z) - (l.lo.z + l.hi.z));
+    axis[i] = dx >= dy ? (dx >= dz ? 0 : 2) : (dy >= dz ? 1 : 2);
+  }
+  // Subtree sizes (post-order via explicit stack).
+  std::vector<int> subtree(n, 1);
+  {
+    std::vector<std::pair<int, bool>> st{{0, false}};
+    while (!st.empty()) {
+      auto [node, done] = st.back();
+      st.pop_back();
+      const Node2& nd = bld.nodes[node];
+      if (nd.count > 0) continue;
+      if (done) {
+        subtree[node] = 1 + subtree[nd.left] + subtree[nd.left + 1];
+      } else {
+        st.push_back({node, true});
+        st.push_back({nd.left, false});
+        st.push_back({nd.left + 1, false});
+      }
+    }
+  }
+
+  for (int oct = 0; oct < 8; ++oct) {
+    float* rows = out_nodes + (size_t)oct * node_capacity * 8;
+    int cursor = 0;
+    // Pre-order DFS with octant-dependent child order; skip = index+subtree.
+    std::vector<int> stack{0};
+    while (!stack.empty()) {
+      int node = stack.back();
+      stack.pop_back();
+      const Node2& nd = bld.nodes[node];
+      float* row = rows + (size_t)cursor * 8;
+      row[0] = nd.lo.x; row[1] = nd.lo.y; row[2] = nd.lo.z;
+      row[3] = nd.hi.x; row[4] = nd.hi.y; row[5] = nd.hi.z;
+      int32_t leaf_code = 0;
+      if (nd.count > 0)
+        leaf_code = (int32_t)((int64_t)nd.start * kLeafCntBits + nd.count);
+      int32_t skip = cursor + subtree[node];
+      std::memcpy(row + 6, &leaf_code, 4);
+      std::memcpy(row + 7, &skip, 4);
+      ++cursor;
+      if (nd.count == 0) {
+        int first = nd.left, second = nd.left + 1;
+        if ((oct >> axis[node]) & 1) std::swap(first, second);
+        stack.push_back(second);  // popped after `first`
+        stack.push_back(first);
+      }
+    }
+  }
+  std::memcpy(out_order, bld.order.data(), bld.order.size() * sizeof(int32_t));
+  return n;
+}
+
 extern "C" int build_mbvh8(const float* positions, int tri_count, int leaf_size,
                            float* out_bounds, int32_t* out_child,
                            int32_t* out_order, int node_capacity) {

@@ -1,0 +1,60 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh.
+
+Key property (SURVEY.md §4): the RNG is keyed by (pixel, sample), so a
+film-tiled multi-chip render is *bitwise identical* to the single-chip
+render — sharding must never change the image.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unity_webgpu_pathtracer_tpu.config import RenderConfig
+from unity_webgpu_pathtracer_tpu.models.cornell import cornell_box
+from unity_webgpu_pathtracer_tpu.parallel.film_tiling import (
+    make_mesh,
+    multichip_render_pass,
+    multichip_samples_per_pass,
+)
+from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+from unity_webgpu_pathtracer_tpu.render.integrator import render_pass
+
+
+SIZE = 32
+
+
+def _setup(spp=2):
+    scene, cam = cornell_box()
+    config = RenderConfig(width=SIZE, height=SIZE, samples_per_pass=spp,
+                          max_bounces=3, traversal="mbvh", sky_mode=2)
+    params = make_camera_params(width=SIZE, height=SIZE, **cam)
+    return scene.build(config.traversal), config, params
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_sharded_bitwise_equals_single_chip():
+    scene, config, params = _setup()
+    mesh = make_mesh(n_tile=8, n_spp=1)
+    multi = multichip_render_pass(scene, config, params, 0, mesh)
+    single = render_pass(scene, config, params, 0)
+    np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_and_spp_sharded():
+    scene, config, params = _setup(spp=1)
+    mesh = make_mesh(n_tile=4, n_spp=2)
+    multi = np.asarray(multichip_render_pass(scene, config, params, 0, mesh))
+    assert multichip_samples_per_pass(config, mesh) == 2
+    # spp axis sums two disjoint sample blocks: equals the sequential
+    # single-chip sums for current_sample=0 and =1.
+    s0 = np.asarray(render_pass(scene, config, params, 0))
+    s1 = np.asarray(render_pass(scene, config, params, 1))
+    np.testing.assert_allclose(multi, s0 + s1, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(n_tile=16, n_spp=1)

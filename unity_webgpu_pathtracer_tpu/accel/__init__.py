@@ -29,3 +29,18 @@ def build_scene_bvh(positions: np.ndarray, leaf_size: int = 4):
         return native
     nodes = bvh2.build_bvh2(positions, leaf_size=leaf_size)
     return mbvh.collapse_to_mbvh8(nodes)
+
+
+def build_scene_skip_bvh(positions: np.ndarray, leaf_size: int = 4):
+    """Build the octant skip-pointer arrays (ops.traverse_skip format).
+
+    Returns ``(skip_nodes (8, N, 8) f32, order (F,))``.
+    """
+    from unity_webgpu_pathtracer_tpu.accel import bvh2, linearize
+    from unity_webgpu_pathtracer_tpu.accel.native import native_linearize_or_none
+
+    native = native_linearize_or_none(positions, leaf_size)
+    if native is not None:
+        return native
+    nodes = bvh2.build_bvh2(positions, leaf_size=leaf_size)
+    return linearize.linearize_bvh2(nodes), nodes.order.copy()

@@ -50,12 +50,50 @@ def _load():
         ctypes.POINTER(ctypes.c_int),     # out order (F)
         ctypes.c_int,                     # node capacity
     ]
+    try:
+        lib.build_skip_bvh.restype = ctypes.c_int
+        lib.build_skip_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float),   # positions (F*9)
+            ctypes.c_int,                     # tri count
+            ctypes.c_int,                     # leaf size
+            ctypes.POINTER(ctypes.c_float),   # out nodes (8*cap*8)
+            ctypes.POINTER(ctypes.c_int),     # out order (F)
+            ctypes.c_int,                     # per-octant node capacity
+        ]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def native_linearize_or_none(positions: np.ndarray, leaf_size: int = 4):
+    """Native skip-pointer build; None if the library lacks the symbol."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        fn = lib.build_skip_bvh
+    except AttributeError:
+        return None
+    pos = np.ascontiguousarray(np.asarray(positions, np.float32).reshape(-1, 9))
+    f = pos.shape[0]
+    cap = max(2 * f + 8, 16)
+    nodes = np.empty((8, cap, 8), np.float32)
+    order = np.empty((f,), np.int32)
+    n = fn(
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        f, leaf_size,
+        nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cap,
+    )
+    if n <= 0:
+        return None
+    return np.ascontiguousarray(nodes[:, :n]), order
 
 
 def native_build_or_none(positions: np.ndarray, leaf_size: int = 4):

@@ -22,6 +22,10 @@ def get_intersectors(config):
         from unity_webgpu_pathtracer_tpu.ops import traverse_mbvh
 
         return traverse_mbvh.closest_hit, traverse_mbvh.occluded
+    if config.traversal == "skip":
+        from unity_webgpu_pathtracer_tpu.ops import traverse_skip
+
+        return traverse_skip.closest_hit, traverse_skip.occluded
     raise ValueError(f"unknown traversal backend {config.traversal!r}")
 
 

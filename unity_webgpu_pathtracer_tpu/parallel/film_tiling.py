@@ -1,0 +1,80 @@
+"""Multi-chip rendering over a ``jax.sharding.Mesh``.
+
+The reference is single-GPU (SURVEY.md §2.4); this is the scaling layer the
+TPU rebuild adds.  Two orthogonal axes:
+
+* ``tile``  — the film plane is row-sharded; each chip traces only its own
+  pixels.  Scene arrays (BVH, triangles, materials, env CDF) are replicated
+  into every chip's HBM.  No communication until film assembly.
+* ``spp``   — samples are sharded; each chip renders the *whole* film with a
+  disjoint sample-index range and the pass results are summed with a
+  ``psum`` riding ICI.
+
+Both are expressed with ``shard_map`` so XLA sees single-chip programs plus
+explicit collectives, following the mesh-first recipe (pick a mesh, shard,
+let XLA insert the transfers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from unity_webgpu_pathtracer_tpu.config import RenderConfig, RenderParams
+from unity_webgpu_pathtracer_tpu.render.integrator import render_pass
+
+
+def make_mesh(n_tile: int, n_spp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    need = n_tile * n_spp
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    dev = np.asarray(devices[:need]).reshape(n_tile, n_spp)
+    return Mesh(dev, axis_names=("tile", "spp"))
+
+
+def multichip_render_pass(scene, config: RenderConfig, params: RenderParams,
+                          current_sample, mesh: Mesh):
+    """One progressive pass sharded over ``mesh`` axes (tile, spp).
+
+    Returns the full-film radiance sum, replicated on every chip, summed
+    over the pass's ``samples_per_pass * n_spp`` samples.  The caller's
+    film-accumulation must count that many samples.
+    """
+    npix = config.pixel_count()
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if npix % n_tile:
+        raise ValueError("pixel count must divide the tile axis")
+    shard = npix // n_tile
+
+    def per_chip(scene_rep, params_rep, current_sample_rep):
+        t = jax.lax.axis_index("tile")
+        s = jax.lax.axis_index("spp")
+        pixels = (t * shard + jnp.arange(shard)).astype(jnp.uint32)
+        # Disjoint sample ranges per spp-shard (reference counts samples
+        # sequentially; each chip takes a stride-offset block).
+        sample0 = current_sample_rep + s * config.samples_per_pass
+        tile_sum = render_pass(scene_rep, config, params_rep, sample0,
+                               pixel_indices=pixels)
+        # Sum the spp axis (ICI psum), then assemble tiles (all_gather).
+        tile_sum = jax.lax.psum(tile_sum, axis_name="spp")
+        return jax.lax.all_gather(tile_sum, axis_name="tile", axis=0).reshape(npix, 3)
+
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return fn(scene, params, jnp.asarray(current_sample, jnp.uint32))
+
+
+def multichip_samples_per_pass(config: RenderConfig, mesh: Mesh) -> int:
+    return config.samples_per_pass * mesh.shape["spp"]

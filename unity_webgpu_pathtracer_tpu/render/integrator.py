@@ -71,8 +71,13 @@ def new_path_state(origins, directions, rng_state) -> PathState:
 
 
 def trace_bounce(scene, config: RenderConfig, params: RenderParams, s: PathState,
-                 closest_fn, occluded_fn) -> PathState:
-    """One bounce for all lanes (body of ``pathtrace.hlsl:25-128``)."""
+                 closest_fn, occluded_fn, with_stats: bool = False):
+    """One bounce for all lanes (body of ``pathtrace.hlsl:25-128``).
+
+    With ``with_stats=True`` returns ``(state, shade_mask)`` where
+    ``shade_mask`` marks lanes that ran NEE this bounce (each fires one
+    shadow ray per enabled NEE branch) — used for rays/sec accounting.
+    """
     alive = s.alive
 
     t, bary, slot = closest_fn(scene, s.origin, s.direction)
@@ -160,7 +165,7 @@ def trace_bounce(scene, config: RenderConfig, params: RenderParams, s: PathState
         )
         alive = alive & ~killed
 
-    return PathState(
+    out = PathState(
         origin=origin,
         direction=direction,
         radiance=radiance,
@@ -171,6 +176,9 @@ def trace_bounce(scene, config: RenderConfig, params: RenderParams, s: PathState
         max_roughness=max_roughness,
         depth=depth,
     )
+    if with_stats:
+        return out, shade
+    return out
 
 
 def path_trace(scene, config: RenderConfig, params: RenderParams,

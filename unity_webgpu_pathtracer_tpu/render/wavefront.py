@@ -41,7 +41,8 @@ class PoolState(NamedTuple):
     lane_depth_cap: jnp.ndarray  # (P,) int32 loop-iteration guard per path
     film_sum: jnp.ndarray     # (npix, 3) radiance sums
     queue_head: jnp.ndarray   # () int32 next work item
-    alive_ticks: jnp.ndarray  # () int32 occupancy numerator
+    alive_ticks: jnp.ndarray  # () int32 occupancy numerator (= closest rays)
+    shade_ticks: jnp.ndarray  # () int32 lanes that ran NEE (shadow-ray count)
     ticks: jnp.ndarray        # () int32 occupancy denominator (iters * P)
 
 
@@ -103,6 +104,19 @@ def wavefront_pass(scene, config: RenderConfig, params: RenderParams,
 
     Returns ``(film_sum (npix, 3), occupancy scalar in [0,1])``.
     """
+    film_sum, occupancy, _, _ = wavefront_pass_with_stats(
+        scene, config, params, current_sample, pool_size
+    )
+    return film_sum, occupancy
+
+
+def wavefront_pass_with_stats(scene, config, params, current_sample,
+                              pool_size=None):
+    """Like :func:`wavefront_pass` but also returns ray counts for benching.
+
+    Returns ``(film_sum, occupancy, closest_rays, shadow_rays)`` where
+    shadow_rays accounts for the NEE branches enabled by the config.
+    """
     closest_fn, occluded_fn = get_intersectors(config)
     npix = config.pixel_count()
     budget = npix * config.samples_per_pass
@@ -124,6 +138,7 @@ def wavefront_pass(scene, config: RenderConfig, params: RenderParams,
         film_sum=jnp.zeros((npix, 3), jnp.float32),
         queue_head=jnp.asarray(0, jnp.int32),
         alive_ticks=jnp.asarray(0, jnp.int32),
+        shade_ticks=jnp.asarray(0, jnp.int32),
         ticks=jnp.asarray(0, jnp.int32),
     )
 
@@ -133,19 +148,17 @@ def wavefront_pass(scene, config: RenderConfig, params: RenderParams,
     def body(s: PoolState):
         s = _regenerate(s, config, params, budget, current_sample)
         was_alive = s.path.alive
-        path = trace_bounce(scene, config, params, s.path, closest_fn, occluded_fn)
-        # Per-lane iteration guard (alpha passthrough could loop forever).
+        path, shade = trace_bounce(scene, config, params, s.path, closest_fn,
+                                   occluded_fn, with_stats=True)
         cap = s.lane_depth_cap - 1
         path = path._replace(alive=path.alive & (cap > 0))
         died = was_alive & ~path.alive
         film_sum = _splat(s.film_sum, s.pixel, path.radiance, died, config, params)
         return PoolState(
-            path=path,
-            pixel=s.pixel,
-            lane_depth_cap=cap,
-            film_sum=film_sum,
+            path=path, pixel=s.pixel, lane_depth_cap=cap, film_sum=film_sum,
             queue_head=s.queue_head,
             alive_ticks=s.alive_ticks + jnp.sum(was_alive.astype(jnp.int32)),
+            shade_ticks=s.shade_ticks + jnp.sum(shade.astype(jnp.int32)),
             ticks=s.ticks + p,
         )
 
@@ -153,7 +166,17 @@ def wavefront_pass(scene, config: RenderConfig, params: RenderParams,
     occupancy = final.alive_ticks.astype(jnp.float32) / jnp.maximum(
         final.ticks.astype(jnp.float32), 1.0
     )
-    return final.film_sum, occupancy
+    from unity_webgpu_pathtracer_tpu.config import SKY_MODE_ENVIRONMENT
+
+    nee_branches = (1 if config.sky_mode == SKY_MODE_ENVIRONMENT else 0) + (
+        1 if config.has_lights else 0
+    )
+    return (
+        final.film_sum,
+        occupancy,
+        final.alive_ticks,
+        final.shade_ticks * nee_branches,
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

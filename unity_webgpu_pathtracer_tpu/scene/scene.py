@@ -44,6 +44,10 @@ class SceneData(NamedTuple):
     bvh_bounds: jnp.ndarray      # (N, 48) float32
     bvh_child: jnp.ndarray       # (N, 8) int32 (see accel.mbvh encoding)
 
+    # Skip-pointer linearized BVH2 (accel.linearize), one DFS order per ray
+    # octant. The TPU hot-path traversal format (ops.traverse_skip).
+    skip_nodes: jnp.ndarray      # (O, N2, 8) float32
+
     # TLAS (Aila-Laine 2-wide) + instances.
     tlas_nodes: jnp.ndarray      # (NT, 16) float32
     tlas_index: jnp.ndarray      # (I,) int32
@@ -111,15 +115,26 @@ class Scene:
         m = flat.count
         tri_index = np.arange(m, dtype=np.int32)
 
-        if traversal != "bruteforce":
+        skip = np.zeros((1, 1, 8), np.float32)
+        if traversal in ("bvh2", "mbvh"):
             from unity_webgpu_pathtracer_tpu.accel import build_scene_bvh
 
             bounds, child, order = build_scene_bvh(flat.positions)
             tris = tris[order]
             tri_index = tri_index[order].astype(np.int32)
-        else:
+        elif traversal == "skip":
+            from unity_webgpu_pathtracer_tpu.accel import build_scene_skip_bvh
+
+            skip, order = build_scene_skip_bvh(flat.positions)
+            tris = tris[order]
+            tri_index = tri_index[order].astype(np.int32)
             bounds = np.zeros((1, 48), np.float32)
             child = np.zeros((1, 8), np.int32)
+        elif traversal == "bruteforce":
+            bounds = np.zeros((1, 48), np.float32)
+            child = np.zeros((1, 8), np.int32)
+        else:
+            raise ValueError(f"unknown traversal backend {traversal!r}")
 
         materials = umaterial.pack_materials(self.materials or [umaterial.MaterialDesc()])
         atlas = utexture.build_atlas(self.textures)
@@ -141,6 +156,7 @@ class Scene:
             env=env,
             bvh_bounds=jnp.asarray(bounds),
             bvh_child=jnp.asarray(child),
+            skip_nodes=jnp.asarray(skip),
             tlas_nodes=jnp.zeros((0, 16), jnp.float32),
             tlas_index=jnp.zeros((0,), jnp.int32),
             inst_l2w=jnp.zeros((0, 12), jnp.float32),
