@@ -25,40 +25,42 @@ def log(*a):
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from unity_webgpu_pathtracer_tpu.config import SKY_MODE_ENVIRONMENT, RenderConfig
     from unity_webgpu_pathtracer_tpu.models.benchmark import million_triangle_scene
     from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
-    from unity_webgpu_pathtracer_tpu.render.wavefront import wavefront_pass_with_stats
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
 
     small = os.environ.get("BENCH_SMALL") == "1"
-    pool = int(os.environ.get("BENCH_POOL", 1 << 17))
+    pool = int(os.environ.get("BENCH_POOL", 1 << 19))
     width, height = (512, 512) if small else (1920, 1080)
     target_tris = 64_000 if small else 1_000_000
+    if small:
+        pool = min(pool, 1 << 17)
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()
     scene, cam = million_triangle_scene(target_tris)
     config = RenderConfig(
         width=width, height=height, samples_per_pass=1, max_bounces=5,
-        traversal="mbvh", sky_mode=SKY_MODE_ENVIRONMENT,
+        traversal="wide", sky_mode=SKY_MODE_ENVIRONMENT,
         has_environment_texture=True, use_russian_roulette=True,
-        integrator="wavefront", pool_size=pool,
+        integrator="fused", pool_size=pool, bvh_octants=1,
     )
-    scene_data = scene.build(config.traversal)
+    scene_data = scene.build(config.traversal, octants=config.bvh_octants)
     ntris = int(scene_data.tris.shape[0])
-    log(f"scene: {ntris:,} tris, {int(scene_data.bvh_bounds.shape[0]):,} mbvh nodes, "
+    log(f"scene: {ntris:,} tris, {int(scene_data.wide_nodes.shape[1]):,} wide rows, "
         f"build {time.time()-t0:.1f}s")
 
     params = make_camera_params(width=width, height=height, **cam,
                                 environment_intensity=np.float32(1.0))
 
-    step = jax.jit(wavefront_pass_with_stats, static_argnums=(1,), static_argnames=("pool_size",))
+    step = jax.jit(fused_pass_with_stats, static_argnums=(1,),
+                   static_argnames=("pool_size",))
 
     t0 = time.time()
-    film, occ, closest, shadow = step(scene_data, config, params, 0, pool_size=pool)
-    film.block_until_ready()
+    film, occ, rays, arrivals = step(scene_data, config, params, 0, pool_size=pool)
+    _ = np.asarray(film[:8])
     log(f"compile+first pass: {time.time()-t0:.1f}s")
 
     # Timed passes.
@@ -66,17 +68,17 @@ def main():
     t0 = time.time()
     total_rays = 0
     for i in range(n_passes):
-        film, occ, closest, shadow = step(scene_data, config, params, i + 1,
-                                          pool_size=pool)
-        film.block_until_ready()
-        total_rays += int(closest) + int(shadow)
+        film, occ, rays, arrivals = step(scene_data, config, params, i + 1,
+                                         pool_size=pool)
+        film_np = np.asarray(film)
+        total_rays += int(rays)
     dt = time.time() - t0
 
     mrays = total_rays / dt / 1e6
     spp_sec = n_passes * config.samples_per_pass / dt
     log(f"occupancy {float(occ):.3f}, rays {total_rays:,} in {dt:.2f}s, "
-        f"{mrays:.2f} Mrays/s, {spp_sec:.3f} 1080p-spp/s, "
-        f"film mean {float(jnp.mean(film)):.4f}")
+        f"{mrays:.2f} Mrays/s, {spp_sec:.3f} {height}p-spp/s, "
+        f"film mean {film_np.mean():.4f}")
 
     print(json.dumps({
         "metric": "Mrays/sec/chip (1M-tri scene, 1080p, wavefront, 5 bounces)",

@@ -175,13 +175,8 @@ struct Builder {
       std::nth_element(order.begin() + lo, order.begin() + mid, order.begin() + hi,
                        [&](int a, int b) { return cent[a][axis] < cent[b][axis]; });
     } else {
-      float parent_area = area(blo, bhi);
-      float cost_split = 1.0f + best_cost / std::max(parent_area, 1e-20f);
-      if (cost_split >= float(n) && n <= 2 * leaf_size) {
-        nd.start = lo;
-        nd.count = n;
-        return;
-      }
+      // Leaves are hard-capped at leaf_size (downstream formats pack exactly
+      // leaf_size triangle lanes), so an unprofitable split still splits.
       auto side = [&](int t) {
         int b = std::min(int((cent[t][best_axis] - best_orig) * best_scale), kBins - 1);
         return b <= best_bin;
@@ -337,6 +332,136 @@ extern "C" int build_skip_bvh(const float* positions, int tri_count,
   }
   std::memcpy(out_order, bld.order.data(), bld.order.size() * sizeof(int32_t));
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// Fat-row 4-ary format (ops/traverse_wide.py / accel/wide.py contract):
+// unified (N, 48) float rows per octant order.
+//   internal: [0:24] 4 child AABBs, [24:28] child DFS ptrs (int),
+//             [44] skip (int), [45] leaf count = 0
+//   leaf:     [0:36] 4-lane SoA tri records [e2x*4|e2y*4|...|v0z*4],
+//             [36:40] attribute indices (int), [44] skip, [45] count 1..4
+// ---------------------------------------------------------------------------
+namespace {
+
+struct WideEmitter {
+  const Builder& b;
+  const float* recs;          // (F, 9) [e2,e1,v0] in *original* order
+  const std::vector<int>& axis;
+  int octant;
+  float* rows;                // (cap, 48) output for this octant
+  int cursor = 0;
+  int capacity;
+
+  void leaf_row(float* row, const Node2& nd) {
+    int cnt = nd.count;
+    for (int c = 0; c < 9; ++c)
+      for (int k = 0; k < 4; ++k)
+        row[c * 4 + k] = 0.f;
+    int32_t idx4[4] = {0, 0, 0, 0};
+    for (int k = 0; k < cnt; ++k) {
+      int orig = b.order[nd.start + k];
+      const float* rec = recs + (size_t)orig * 9;
+      for (int c = 0; c < 9; ++c) row[c * 4 + k] = rec[c];
+      idx4[k] = orig;
+    }
+    std::memcpy(row + 36, idx4, 16);
+    int32_t cnt32 = cnt;
+    std::memcpy(row + 45, &cnt32, 4);
+  }
+
+  int children4(int node, int* kids) {
+    const Node2& nd = b.nodes[node];
+    int pair[2] = {nd.left, nd.left + 1};
+    if ((octant >> axis[node]) & 1) std::swap(pair[0], pair[1]);
+    int n = 0;
+    for (int c : pair) {
+      if (b.nodes[c].count > 0) {
+        kids[n++] = c;
+      } else {
+        int sub[2] = {b.nodes[c].left, b.nodes[c].left + 1};
+        if ((octant >> axis[c]) & 1) std::swap(sub[0], sub[1]);
+        kids[n++] = sub[0];
+        kids[n++] = sub[1];
+      }
+    }
+    return n;
+  }
+
+  int emit(int node) {
+    if (cursor >= capacity) return -1;
+    int my = cursor++;
+    float* row = rows + (size_t)my * 48;
+    std::memset(row, 0, 48 * sizeof(float));
+    const Node2& nd = b.nodes[node];
+    if (nd.count > 0) {
+      leaf_row(row, nd);
+    } else {
+      int kids[4];
+      int nk = children4(node, kids);
+      // SoA within the row: [lox*4|loy*4|loz*4|hix*4|hiy*4|hiz*4].
+      for (int k = 0; k < 4; ++k) {
+        row[0 * 4 + k] = row[1 * 4 + k] = row[2 * 4 + k] = FLT_MAX;
+        row[3 * 4 + k] = row[4 * 4 + k] = row[5 * 4 + k] = -FLT_MAX;
+      }
+      int32_t ptrs[4] = {0, 0, 0, 0};
+      for (int k = 0; k < nk; ++k) {
+        const Node2& c = b.nodes[kids[k]];
+        row[0 * 4 + k] = c.lo.x; row[1 * 4 + k] = c.lo.y; row[2 * 4 + k] = c.lo.z;
+        row[3 * 4 + k] = c.hi.x; row[4 * 4 + k] = c.hi.y; row[5 * 4 + k] = c.hi.z;
+        int sub = emit(kids[k]);
+        if (sub < 0) return -1;
+        row = rows + (size_t)my * 48;  // re-derive (no realloc here, but keep pattern)
+        ptrs[k] = sub;
+      }
+      std::memcpy(row + 24, ptrs, 16);
+    }
+    int32_t skip = cursor;
+    std::memcpy(row + 44, &skip, 4);
+    return my;
+  }
+};
+
+}  // namespace
+
+extern "C" int build_wide_bvh(const float* positions, int tri_count,
+                              int leaf_size, const float* tri_records,
+                              float* out_nodes, int node_capacity,
+                              int octants) {
+  if (tri_count <= 0 || leaf_size <= 0 || leaf_size > 4) return -1;
+  if (octants != 1 && octants != 8) return -1;
+  Builder bld{positions, tri_count, leaf_size};
+  bld.build();
+  const int n2 = (int)bld.nodes.size();
+  std::vector<int> axis(n2, 0);
+  for (int i = 0; i < n2; ++i) {
+    const Node2& nd = bld.nodes[i];
+    if (nd.count > 0) continue;
+    const Node2 &l = bld.nodes[nd.left], &r = bld.nodes[nd.left + 1];
+    float dx = std::fabs((r.lo.x + r.hi.x) - (l.lo.x + l.hi.x));
+    float dy = std::fabs((r.lo.y + r.hi.y) - (l.lo.y + l.hi.y));
+    float dz = std::fabs((r.lo.z + r.hi.z) - (l.lo.z + l.hi.z));
+    axis[i] = dx >= dy ? (dx >= dz ? 0 : 2) : (dy >= dz ? 1 : 2);
+  }
+  int count = -1;
+  for (int oct = 0; oct < octants; ++oct) {
+    WideEmitter em{bld, tri_records, axis, oct,
+                   out_nodes + (size_t)oct * node_capacity * 48, 0, node_capacity};
+    if (bld.nodes[0].count > 0) {
+      // Single-leaf scene: root is itself a leaf row.
+      float* row = em.rows;
+      std::memset(row, 0, 48 * sizeof(float));
+      em.leaf_row(row, bld.nodes[0]);
+      int32_t skip = 1;
+      std::memcpy(row + 44, &skip, 4);
+      em.cursor = 1;
+    } else if (em.emit(0) < 0) {
+      return -1;
+    }
+    if (count >= 0 && em.cursor != count) return -1;
+    count = em.cursor;
+  }
+  return count;
 }
 
 extern "C" int build_mbvh8(const float* positions, int tri_count, int leaf_size,

@@ -47,12 +47,6 @@ def _scene_from_positions(positions):
         env=empty_envmap(),
         bvh_bounds=jnp.asarray(bounds),
         bvh_child=jnp.asarray(child),
-        skip_nodes=jnp.zeros((1, 1, 8), jnp.float32),
-        tlas_nodes=jnp.zeros((0, 16), jnp.float32),
-        tlas_index=jnp.zeros((0,), jnp.int32),
-        inst_l2w=jnp.zeros((0, 12), jnp.float32),
-        inst_w2l=jnp.zeros((0, 12), jnp.float32),
-        inst_offsets=jnp.zeros((0, 4), jnp.int32),
     )
 
 

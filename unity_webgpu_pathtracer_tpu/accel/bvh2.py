@@ -119,11 +119,10 @@ def build_bvh2(positions: np.ndarray, leaf_size: int = 4) -> BVH2:
             sel = np.argsort(centroids[idx, int(np.argmax(extent))], kind="stable")
             order[lo:hi] = idx[sel]
         else:
-            cost_split = C_TRAV + C_INT * best[0] / max(parent_area, 1e-20)
-            if cost_split >= leaf_cost and n <= 2 * leaf_size:
-                start[ni] = lo
-                count[ni] = n
-                continue
+            # Leaves are hard-capped at leaf_size (downstream formats pack
+            # exactly leaf_size triangle lanes), so an unprofitable split
+            # still splits; the SAH cost is advisory only for ordering.
+            del leaf_cost
             _, axis, k, _, scale, corig = best
             bins_ax = np.minimum(
                 ((centroids[idx, axis] - corig) * scale).astype(np.int32), N_BINS - 1

@@ -96,6 +96,41 @@ def native_linearize_or_none(positions: np.ndarray, leaf_size: int = 4):
     return np.ascontiguousarray(nodes[:, :n]), order
 
 
+def native_wide_or_none(positions: np.ndarray, tri_records: np.ndarray,
+                        leaf_size: int = 4, octants: int = 1):
+    """Native fat-row 4-ary build; None if the library lacks the symbol."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        fn = lib.build_wide_bvh
+    except AttributeError:
+        return None
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),   # tri records (F*9), original order
+        ctypes.POINTER(ctypes.c_float),   # out nodes (octants*cap*48)
+        ctypes.c_int,                     # per-octant node capacity
+        ctypes.c_int,                     # octant count (1 or 8)
+    ]
+    pos = np.ascontiguousarray(np.asarray(positions, np.float32).reshape(-1, 9))
+    recs = np.ascontiguousarray(np.asarray(tri_records, np.float32).reshape(-1, 9))
+    f = pos.shape[0]
+    cap = max(f + f // 2 + 8, 16)
+    nodes = np.empty((octants, cap, 48), np.float32)
+    n = fn(
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        f, leaf_size,
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap, octants,
+    )
+    if n <= 0:
+        return None
+    return np.ascontiguousarray(nodes[:, :n])
+
+
 def native_build_or_none(positions: np.ndarray, leaf_size: int = 4):
     lib = _load()
     if lib is None:

@@ -39,7 +39,7 @@ def _pass_and_accumulate(scene, config, params, film):
 class Renderer:
     def __init__(self, scene, config: RenderConfig, params: RenderParams):
         if isinstance(scene, Scene):
-            scene = scene.build(config.traversal)
+            scene = scene.build(config.traversal, octants=config.bvh_octants)
         if not isinstance(scene, SceneData):
             raise TypeError("scene must be a Scene or SceneData")
         self.scene = scene
@@ -53,7 +53,15 @@ class Renderer:
 
     def step(self) -> None:
         """Render one progressive pass (``samples_per_pass`` samples/pixel)."""
-        if self.config.integrator == "wavefront":
+        if self.config.integrator == "fused":
+            from unity_webgpu_pathtracer_tpu.render.fused import (
+                fused_pass_and_accumulate,
+            )
+
+            self.film = fused_pass_and_accumulate(
+                self.scene, self.config, self.params, self.film
+            )
+        elif self.config.integrator == "wavefront":
             from unity_webgpu_pathtracer_tpu.render.wavefront import (
                 wavefront_pass_and_accumulate,
             )

@@ -74,8 +74,13 @@ class RenderConfig:
     # compiles without the lens sampling code, like Aperture==0 in-kernel.
     use_depth_of_field: bool = False
 
-    # Traversal backend: "bruteforce" | "bvh2" | "mbvh" | "cwbvh".
+    # Traversal backend: "bruteforce" | "bvh2" | "mbvh" | "skip" | "wide".
     traversal: str = "mbvh"
+
+    # Octant-specialized DFS orders for the wide format (1 or 8): 8 orders
+    # visit near-first (fewer arrivals) but 8x the node table, which falls
+    # out of cache — 1 is faster for small/medium scenes (measured on v5e).
+    bvh_octants: int = 1
 
     # Integrator: "megakernel" (lax.scan bounce loop, correctness reference)
     # or "wavefront" (ray pool + regeneration; the TPU-native design).

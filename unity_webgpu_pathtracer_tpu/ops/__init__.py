@@ -26,6 +26,10 @@ def get_intersectors(config):
         from unity_webgpu_pathtracer_tpu.ops import traverse_skip
 
         return traverse_skip.closest_hit, traverse_skip.occluded
+    if config.traversal == "wide":
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide
+
+        return traverse_wide.closest_hit, traverse_wide.occluded
     raise ValueError(f"unknown traversal backend {config.traversal!r}")
 
 

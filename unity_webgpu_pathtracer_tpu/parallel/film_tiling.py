@@ -71,7 +71,9 @@ def multichip_render_pass(scene, config: RenderConfig, params: RenderParams,
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        # The traversal while_loop carries become device-varying mid-loop;
+        # skip the static varying-axes check (semantics unaffected).
+        check_vma=False,
     )
     return fn(scene, params, jnp.asarray(current_sample, jnp.uint32))
 

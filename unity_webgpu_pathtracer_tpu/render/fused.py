@@ -1,0 +1,564 @@
+"""Fused traversal+shade wavefront — the production TPU integrator.
+
+The barrier-free endgame of the wavefront design (see render/wavefront.py
+for the staged variant and SURVEY.md §2.4/§5): ONE ``lax.while_loop`` whose
+iteration interleaves
+
+* ``TRANSITION_EVERY`` × :func:`ops.traverse_wide.arrival_step` — every lane
+  advances its own traversal (primary closest-hit or NEE shadow any-hit) by
+  one fat-row gather; finished lanes idle at most a few steps;
+* one *transition* step — lanes whose traversal just finished move through
+  the per-bounce state machine: primary-hit shading (material fetch, sky
+  MIS, emission, alpha passthrough), environment NEE setup, analytic-light
+  NEE setup, shadow-result application, BSDF sampling + Russian roulette,
+  film splat on path death, and immediate path regeneration from the pass's
+  (pixel, sample) work queue.
+
+There is no synchronization point anywhere between path starts: mean path
+cost, not worst-case, governs throughput — the property the per-bounce
+barrier integrators fundamentally lack on TPU.
+
+State machine modes::
+
+    PRIMARY ──hit──> (shade) ──env NEE──> SHADOW_ENV ──> (apply, light NEE)
+      │                │ basic sky: straight to BSDF        │
+      │ miss           └────────────────────────┐           v
+      v                                         ├──> SHADOW_LIGHT ──> (apply)
+    sky+MIS -> DEAD -> regen -> PRIMARY         └──────> BSDF sample + RR
+                                                          │
+                                             PRIMARY (next bounce) or DEAD
+
+Radiometry matches the megakernel integrator (same stage functions) within
+Monte-Carlo noise; RNG pairing differs (documented wavefront deviation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from unity_webgpu_pathtracer_tpu.config import (
+    ALPHA_MODE_BLEND,
+    ALPHA_MODE_MASK,
+    LIGHT_TYPE_POINT,
+    LIGHT_TYPE_RECTANGLE,
+    LIGHT_TYPE_SPOT,
+    SKY_MODE_ENVIRONMENT,
+    RenderConfig,
+    RenderParams,
+)
+from unity_webgpu_pathtracer_tpu.ops.traverse_wide import (
+    WideState,
+    arrival_step,
+    octant_index,
+)
+from unity_webgpu_pathtracer_tpu.render import bsdf as ubsdf
+from unity_webgpu_pathtracer_tpu.render import camera as ucamera
+from unity_webgpu_pathtracer_tpu.render import film as ufilm
+from unity_webgpu_pathtracer_tpu.render.lights import _unity_falloff
+from unity_webgpu_pathtracer_tpu.render.sampling import power_heuristic, uniform_sample_sphere
+from unity_webgpu_pathtracer_tpu.render.sky import sample_sky_radiance
+from unity_webgpu_pathtracer_tpu.scene.envmap import sample_env_map_alias
+from unity_webgpu_pathtracer_tpu.scene.material import derive_material
+from unity_webgpu_pathtracer_tpu.utils import rng as urng
+from unity_webgpu_pathtracer_tpu.utils.math import (
+    EPSILON,
+    FAR_PLANE,
+    PI,
+    cross,
+    dot,
+    dot1,
+    length,
+    luminance,
+    normalize,
+    safe_rcp,
+)
+
+MODE_PRIMARY = 0
+MODE_SHADOW_ENV = 1
+MODE_SHADOW_LIGHT = 2
+MODE_DEAD = 3
+
+TRANSITION_EVERY = 4
+
+
+class FusedState(NamedTuple):
+    mode: jnp.ndarray          # (B,) int32
+    trav: WideState            # active traversal registers
+    trav_o: jnp.ndarray        # (B,3) active ray origin
+    trav_d: jnp.ndarray        # (B,3) active ray direction
+
+    # Primary-path registers (survive across shadow traversals).
+    path_o: jnp.ndarray        # (B,3)
+    path_d: jnp.ndarray        # (B,3)
+    hit_t: jnp.ndarray         # (B,)
+    hit_uv_bary: jnp.ndarray   # (B,2)
+    hit_tri: jnp.ndarray       # (B,) int32 attribute row (-1 = miss)
+
+    pending: jnp.ndarray       # (B,3) NEE contribution awaiting shadow result
+    throughput: jnp.ndarray    # (B,3)
+    radiance: jnp.ndarray      # (B,3)
+    rng: jnp.ndarray           # (B,) uint32
+    pixel: jnp.ndarray         # (B,) int32
+    depth: jnp.ndarray         # (B,) int32
+    max_roughness: jnp.ndarray # (B,)
+    prev_pdf: jnp.ndarray      # (B,)
+    lane_cap: jnp.ndarray      # (B,) int32 transition budget (alpha guard)
+
+    film: jnp.ndarray          # (npix,3)
+    queue_head: jnp.ndarray    # ()
+    arrivals: jnp.ndarray      # () int64-ish counter (int32)
+    rays: jnp.ndarray          # () closest+shadow rays started
+    busy: jnp.ndarray          # () lanes busy ticks
+    ticks: jnp.ndarray         # ()
+
+
+def _set_trav(s: FusedState, mask, o, d, t_max):
+    """Point lanes' traversal at a fresh ray."""
+    m3 = mask[:, None]
+    trav = WideState(
+        ptr=jnp.where(mask, 0, s.trav.ptr),
+        t=jnp.where(mask, t_max, s.trav.t),
+        u=jnp.where(mask, 0.0, s.trav.u),
+        v=jnp.where(mask, 0.0, s.trav.v),
+        tri=jnp.where(mask, -1, s.trav.tri),
+        found=jnp.where(mask, False, s.trav.found),
+    )
+    return s._replace(
+        trav=trav,
+        trav_o=jnp.where(m3, o, s.trav_o),
+        trav_d=jnp.where(m3, d, s.trav_d),
+    )
+
+
+def _interp(bary, attr, width):
+    a0 = attr[:, 0 * width : 1 * width]
+    a1 = attr[:, 1 * width : 2 * width]
+    a2 = attr[:, 2 * width : 3 * width]
+    w0 = (1.0 - bary[:, 0] - bary[:, 1])[:, None]
+    return a0 * w0 + a1 * bary[:, 0:1] + a2 * bary[:, 1:2]
+
+
+def _analytic_light_hit(scene, o, d, t):
+    """Closest rect-light hit below t (``intersect.hlsl:29-54``); returns
+    (hit_mask, t_light, light_index)."""
+    t_best = t
+    idx = jnp.full(t.shape, -1, jnp.int32)
+    for i in range(scene.lights.shape[0]):
+        rec = scene.lights[i]
+        is_rect = rec[3] == 3.0
+        pos, u, v = rec[0:3], rec[8:11], rec[12:15]
+        n = normalize(cross(u, v))
+        dt = dot(d, jnp.broadcast_to(n, d.shape))
+        tt = (jnp.sum(n * pos) - dot(o, jnp.broadcast_to(n, o.shape))) / jnp.where(dt == 0, 1e-20, dt)
+        p = o + d * tt[:, None]
+        vi = p - pos
+        a1 = dot(jnp.broadcast_to(u / jnp.maximum(jnp.sum(u * u), 1e-20), p.shape), vi)
+        a2 = dot(jnp.broadcast_to(v / jnp.maximum(jnp.sum(v * v), 1e-20), p.shape), vi)
+        hit = (
+            is_rect & (tt > EPSILON) & (tt < t_best)
+            & (a1 >= 0) & (a1 <= 1) & (a2 >= 0) & (a2 <= 1) & (dt < 0)
+        )
+        t_best = jnp.where(hit, tt, t_best)
+        idx = jnp.where(hit, i, idx)
+    return idx >= 0, t_best, idx
+
+
+def _transition(scene, config: RenderConfig, params: RenderParams,
+                s: FusedState, budget: int, current_sample, n_nodes: int):
+    b = s.mode.shape[0]
+    env_nee = config.sky_mode == SKY_MODE_ENVIRONMENT
+    light_nee = config.has_lights and scene.lights.shape[0] > 0
+
+    trav_done = s.trav.ptr >= n_nodes
+    shadow_done = trav_done | s.trav.found
+    rng_state = s.rng
+
+    # =====================================================================
+    # Stage A: primary traversal finished -> shade / NEE setup / BSDF.
+    # =====================================================================
+    a = (s.mode == MODE_PRIMARY) & trav_done & (s.lane_cap > 0)
+
+    hit_valid = s.trav.tri >= 0
+    t_hit = s.trav.t
+    bary = jnp.stack([s.trav.u, s.trav.v], axis=-1)
+
+    # Analytic light interception (may be closer than the triangle hit).
+    if light_nee:
+        lhit, t_light, lidx = _analytic_light_hit(scene, s.path_o, s.path_d, t_hit)
+    else:
+        lhit = jnp.zeros((b,), bool)
+        lidx = jnp.zeros((b,), jnp.int32)
+
+    # --- miss -> sky with MIS ---
+    sky_color, sky_pdf = sample_sky_radiance(config, params, scene.env, s.path_d, s.depth)
+    mis = jnp.where(s.depth > 0, power_heuristic(s.prev_pdf, sky_pdf), 1.0)
+    miss = a & ~hit_valid & ~lhit
+    radiance = s.radiance + jnp.where(
+        (miss & (mis > 0))[:, None], mis[:, None] * sky_color * s.throughput, 0.0
+    )
+
+    # --- analytic light hit -> emission, terminate ---
+    if light_nee:
+        l_em = scene.lights[jnp.maximum(lidx, 0), 4:7]
+        light_hit = a & lhit
+        radiance = radiance + jnp.where(light_hit[:, None], l_em * s.throughput, 0.0)
+    else:
+        light_hit = jnp.zeros((b,), bool)
+
+    shade = a & hit_valid & ~lhit
+
+    # --- material + geometry fetch (gathers: only transitions pay these) ---
+    attr = jnp.maximum(s.trav.tri, 0)
+    normal = normalize(_interp(bary, scene.attr_normals[attr], 3))
+    uv = _interp(bary, scene.attr_uvs[attr], 2)
+    mat_idx = scene.attr_material[attr]
+    mdata = scene.materials[jnp.maximum(mat_idx, 0)]
+    mat = derive_material(mdata, uv, s.path_d, normal,
+                          scene.texture_data, config.has_textures)
+    max_roughness = jnp.where(shade, jnp.maximum(s.max_roughness, mat.roughness),
+                              s.max_roughness)
+    aspect = jnp.sqrt(1.0 - mat.anisotropic * 0.9)
+    mat = mat._replace(
+        roughness=max_roughness,
+        ax=jnp.maximum(0.001, max_roughness / aspect),
+        ay=jnp.maximum(0.001, max_roughness * aspect),
+    )
+    ffnormal = jnp.where(dot1(normal, s.path_d) <= 0.0, normal, -normal)
+    position = s.path_o + t_hit[:, None] * s.path_d
+    scatter_pos = position + normal * EPSILON
+
+    radiance = radiance + jnp.where(shade[:, None], mat.emission * s.throughput, 0.0)
+    over_budget = s.depth >= config.max_bounces
+    ended_budget = shade & over_budget
+    shade = shade & ~over_budget
+
+    # --- alpha passthrough (pathtrace.hlsl:84-89) ---
+    u_alpha, rng_state = urng.random_float(rng_state)
+    passthrough = shade & (
+        ((mat.alpha_mode == ALPHA_MODE_MASK) & (mat.opacity < mat.alpha_cutoff))
+        | ((mat.alpha_mode == ALPHA_MODE_BLEND) & (u_alpha > mat.opacity))
+    )
+    shade = shade & ~passthrough
+
+    # =====================================================================
+    # Stage B/C: shadow traversal finished -> apply pending contribution.
+    # =====================================================================
+    env_done = (s.mode == MODE_SHADOW_ENV) & shadow_done
+    light_done = (s.mode == MODE_SHADOW_LIGHT) & shadow_done
+    unoccluded = ~s.trav.found
+    radiance = radiance + jnp.where(
+        ((env_done | light_done) & unoccluded)[:, None],
+        s.pending * s.throughput, 0.0,
+    )
+
+    # Lanes needing hit-frame data for the NEXT stage (env lanes re-derive
+    # their material/frame from stored hit regs). Computed at most once per
+    # transition (memoized) — the gathers inside dominate transition cost.
+    def hit_frame():
+        ab = jnp.maximum(s.hit_tri, 0)
+        nb = normalize(_interp(s.hit_uv_bary, scene.attr_normals[ab], 3))
+        uvb = _interp(s.hit_uv_bary, scene.attr_uvs[ab], 2)
+        mi = scene.attr_material[ab]
+        md = scene.materials[jnp.maximum(mi, 0)]
+        m = derive_material(md, uvb, s.path_d, nb, scene.texture_data,
+                            config.has_textures)
+        asp = jnp.sqrt(1.0 - m.anisotropic * 0.9)
+        m = m._replace(
+            roughness=s.max_roughness,
+            ax=jnp.maximum(0.001, s.max_roughness / asp),
+            ay=jnp.maximum(0.001, s.max_roughness * asp),
+        )
+        ffn = jnp.where(dot1(nb, s.path_d) <= 0.0, nb, -nb)
+        pos = s.path_o + s.hit_t[:, None] * s.path_d
+        return m, nb, ffn, pos + nb * EPSILON
+
+    hf_cache = []
+
+    def hit_frame_cached():
+        if not hf_cache:
+            hf_cache.append(hit_frame())
+        return hf_cache[0]
+
+    # =====================================================================
+    # NEE setups + BSDF sampling, routed per config.
+    # =====================================================================
+    # Which lanes are entering each NEE stage this transition:
+    to_env = shade if env_nee else jnp.zeros((b,), bool)
+    after_env_src = env_done
+    to_light_from = after_env_src if env_nee else shade
+    to_light = to_light_from if light_nee else jnp.zeros((b,), bool)
+    # Lanes ready for BSDF sampling:
+    if light_nee:
+        to_bsdf = light_done
+    elif env_nee:
+        to_bsdf = env_done
+    else:
+        to_bsdf = shade
+
+    pending = s.pending
+    new_mode = s.mode
+    sn = s
+
+    # --- env NEE setup (light.hlsl:125-158) ---
+    if env_nee:
+        mat_a, nrm_a, ffn_a, spos_a = (mat, normal, ffnormal, scatter_pos)
+        if config.has_environment_texture:
+            ldir, lcol, lpdf, rng_state = sample_env_map_alias(
+                scene.env, params.environment_rotation, rng_state
+            )
+            f_e, bpdf_e = ubsdf.eval_brdf(mat_a, -s.path_d, ffn_a, ldir)
+            mis_e = power_heuristic(lpdf, bpdf_e)
+            contrib = (
+                mis_e[:, None] * lcol * f_e * params.environment_intensity
+                / jnp.maximum(lpdf, 1e-20)[:, None]
+            )
+            ok = (bpdf_e > 0) & (lpdf > 0) & (mis_e > 0)
+        else:
+            (r1, r2), rng_state = urng.random_floats(rng_state, 2)
+            ldir = uniform_sample_sphere(r1, r2)
+            lpdf_c = 1.0 / (4.0 * PI)
+            f_e, bpdf_e = ubsdf.eval_brdf(mat_a, -s.path_d, ffn_a, ldir)
+            mis_e = power_heuristic(lpdf_c, bpdf_e)
+            li = params.environment_color * params.environment_intensity
+            contrib = mis_e[:, None] * li * f_e / lpdf_c
+            ok = (bpdf_e > 0) & (mis_e > 0)
+        pending = jnp.where(to_env[:, None], jnp.where(ok[:, None], contrib, 0.0), pending)
+        sn = _set_trav(sn, to_env, spos_a, ldir, jnp.float32(FAR_PLANE))
+        new_mode = jnp.where(to_env, MODE_SHADOW_ENV, new_mode)
+
+    # --- analytic light NEE setup (light.hlsl:117-173 semantics) ---
+    if light_nee:
+        mat_l, nrm_l, ffn_l, spos_l = hit_frame_cached() if env_nee else (
+            mat, normal, ffnormal, scatter_pos
+        )
+        lcount = scene.lights.shape[0]
+        u_pick, rng_state = urng.random_float(rng_state)
+        li_idx = jnp.clip((u_pick * lcount).astype(jnp.int32), 0, lcount - 1)
+        rec = scene.lights[li_idx]
+        ltype = rec[:, 3].astype(jnp.int32)
+        lpos, lu, lv = rec[:, 0:3], rec[:, 8:11], rec[:, 12:15]
+        emission = rec[:, 4:7] * float(lcount)
+        lrange, larea = rec[:, 7], rec[:, 11]
+        (r1, r2), rng_state = urng.random_floats(rng_state, 2)
+        rect_surface = lpos + lu * r1[:, None] + lv * r2[:, None]
+        to_rect = rect_surface - spos_l
+        rect_dist = length(to_rect)
+        rect_dir = to_rect / jnp.maximum(rect_dist, 1e-20)[:, None]
+        rect_normal = normalize(cross(lu, lv))
+        rect_pdf = rect_dist**2 / jnp.maximum(
+            larea * jnp.abs(dot(rect_normal, rect_dir)), 1e-20
+        )
+        to_l = lpos - spos_l
+        delta_dist = length(to_l)
+        delta_dir = to_l / jnp.maximum(delta_dist, 1e-20)[:, None]
+        is_rect = ltype == LIGHT_TYPE_RECTANGLE
+        is_spot = ltype == LIGHT_TYPE_SPOT
+        is_point = ltype == LIGHT_TYPE_POINT
+        ldir2 = jnp.where(is_rect[:, None], rect_dir, delta_dir)
+        ldist = jnp.where(is_rect, rect_dist, delta_dist)
+        lnormal = jnp.where(is_rect[:, None], rect_normal,
+                            jnp.where(is_spot[:, None], normalize(lu), -delta_dir))
+        lpdf2 = jnp.where(is_rect, rect_pdf, 0.0)
+        falloff = _unity_falloff(ldist, lrange)
+        cos_t = dot(-ldir2, normalize(lnormal))
+        falloff = jnp.where(is_rect & (cos_t < 0), 0.0, falloff)
+        cos_outer, cos_inner = rec[:, 12], rec[:, 13]
+        spot_fade = jnp.clip((cos_t - cos_outer) /
+                             jnp.maximum(cos_inner - cos_outer, 1e-6), 0.0, 1.0)
+        falloff = jnp.where(is_spot, falloff * spot_fade, falloff)
+        f_l, _ = ubsdf.eval_brdf(mat_l, -s.path_d, nrm_l, ldir2)
+        contrib_l = emission * falloff[:, None] * f_l / jnp.where(
+            lpdf2 > 0, lpdf2, 1.0
+        )[:, None]
+        ok_l = (is_rect | is_spot | is_point) & (falloff > 0)
+        pending = jnp.where(to_light[:, None],
+                            jnp.where(ok_l[:, None], contrib_l, 0.0), pending)
+        sn = _set_trav(sn, to_light, spos_l, ldir2, ldist - EPSILON)
+        new_mode = jnp.where(to_light, MODE_SHADOW_LIGHT, new_mode)
+
+    # --- BSDF sample + Russian roulette -> next bounce or death ---
+    if env_nee or light_nee:
+        mat_b, nrm_b, ffn_b, spos_b = hit_frame_cached()
+        pos_b = s.path_o + s.hit_t[:, None] * s.path_d
+    else:
+        mat_b, nrm_b, ffn_b = mat, normal, ffnormal
+        pos_b = position
+    f_s, l_s, pdf_s, rng_state = ubsdf.sample_brdf(mat_b, -s.path_d, ffn_b, rng_state)
+    nan_lane = jnp.isnan(f_s).any(-1) | jnp.isnan(pdf_s)
+    sample_ok = to_bsdf & ~nan_lane & (pdf_s > 0.0)
+    throughput = jnp.where(
+        sample_ok[:, None],
+        s.throughput * f_s / jnp.maximum(pdf_s, 1e-20)[:, None],
+        s.throughput,
+    )
+    continue_ray = sample_ok
+    if config.use_russian_roulette:
+        u_rr, rng_state = urng.random_float(rng_state)
+        p_cont = jnp.minimum(jnp.max(throughput, axis=-1) + 0.001, 0.95)
+        rr_kill = continue_ray & (u_rr >= p_cont)
+        throughput = jnp.where(
+            (continue_ray & ~rr_kill)[:, None], throughput / p_cont[:, None], throughput
+        )
+        continue_ray = continue_ray & ~rr_kill
+
+    # --- stitch next state ---
+    # Deaths this transition:
+    died = (
+        miss | light_hit | ended_budget
+        | (to_bsdf & ~continue_ray)
+        | ((s.mode != MODE_DEAD) & (s.lane_cap <= 0))
+    )
+    # Splat with firefly clamp.
+    rad_out = radiance
+    if config.use_firefly_filter:
+        lum = luminance(rad_out)
+        scale = jnp.where(lum > params.max_firefly_luminance,
+                          params.max_firefly_luminance / jnp.maximum(lum, 1e-20), 1.0)
+        rad_out = rad_out * scale[:, None]
+    film = s.film.at[jnp.where(died, s.pixel, 0)].add(
+        jnp.where(died[:, None], rad_out, 0.0)
+    )
+
+    # Continuing bounce: new primary ray. Passthrough restarts from the
+    # *current* hit position (its hit regs are only saved below).
+    new_dir = jnp.where(passthrough[:, None], s.path_d, l_s)
+    bounce = continue_ray | passthrough
+    new_origin = jnp.where(passthrough[:, None], position, pos_b) + new_dir * EPSILON
+    path_o = jnp.where(bounce[:, None], new_origin, s.path_o)
+    path_d = jnp.where(bounce[:, None], new_dir, s.path_d)
+    sn = _set_trav(sn, bounce, path_o, path_d, jnp.float32(FAR_PLANE))
+    new_mode = jnp.where(bounce, MODE_PRIMARY, jnp.where(died, MODE_DEAD, new_mode))
+    depth = jnp.where(continue_ray, s.depth + 1, s.depth)
+    prev_pdf = jnp.where(to_bsdf, pdf_s, s.prev_pdf)
+
+    # Save primary-hit registers for lanes that just shaded.
+    saved = shade | passthrough
+    hit_t = jnp.where(saved, t_hit, s.hit_t)
+    hit_bary = jnp.where(saved[:, None], bary, s.hit_uv_bary)
+    hit_tri = jnp.where(saved, s.trav.tri, s.hit_tri)
+
+    # Regeneration into dead lanes.
+    dead_now = new_mode == MODE_DEAD
+    npix = config.pixel_count()
+    remaining = budget - s.queue_head
+    rank = jnp.cumsum(dead_now.astype(jnp.int32)) - 1
+    work_id = s.queue_head + rank
+    take = dead_now & (rank < remaining)
+    pixel_new = (work_id % npix).astype(jnp.uint32)
+    sample_new = (work_id // npix).astype(jnp.uint32) + jnp.asarray(current_sample, jnp.uint32)
+    rng_new = urng.seed(pixel_new, sample_new, params.seed_root)
+    coords, rng_new = ucamera.jittered_pixel_coords(pixel_new, config, rng_new)
+    o_new, d_new, rng_new = ucamera.get_screen_ray(coords, config, params, rng_new)
+    tk = take[:, None]
+    path_o = jnp.where(tk, o_new, path_o)
+    path_d = jnp.where(tk, d_new, path_d)
+    sn = _set_trav(sn, take, path_o, path_d, jnp.float32(FAR_PLANE))
+    new_mode = jnp.where(take, MODE_PRIMARY, new_mode)
+    queue_head = s.queue_head + jnp.minimum(jnp.sum(dead_now.astype(jnp.int32)), remaining)
+
+    shadow_started = (to_env if env_nee else jnp.zeros((b,), bool)) | (
+        to_light if light_nee else jnp.zeros((b,), bool)
+    )
+    rays = s.rays + jnp.sum((bounce | take).astype(jnp.int32)) + jnp.sum(
+        shadow_started.astype(jnp.int32)
+    )
+
+    return sn._replace(
+        mode=new_mode,
+        path_o=path_o,
+        path_d=path_d,
+        hit_t=hit_t,
+        hit_uv_bary=hit_bary,
+        hit_tri=hit_tri,
+        pending=pending,
+        throughput=jnp.where(take[:, None], 1.0, throughput),
+        radiance=jnp.where((died | take)[:, None], 0.0, radiance),
+        rng=jnp.where(take, rng_new, rng_state),
+        pixel=jnp.where(take, pixel_new.astype(jnp.int32), s.pixel),
+        depth=jnp.where(take, 0, depth),
+        max_roughness=jnp.where(take, 0.0, max_roughness),
+        prev_pdf=jnp.where(take, 0.0, prev_pdf),
+        lane_cap=jnp.where(
+            take,
+            4 * (config.max_bounces + 1) + 16,
+            jnp.where(s.mode != MODE_DEAD, s.lane_cap - 1, s.lane_cap),
+        ),
+        film=film,
+        queue_head=queue_head,
+        rays=rays,
+    )
+
+
+def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
+                          current_sample, pool_size: int | None = None):
+    """Render one pass; returns ``(film_sum, occupancy, rays, arrivals)``."""
+    npix = config.pixel_count()
+    budget = npix * config.samples_per_pass
+    b = pool_size or config.pool_size or min(budget, 1 << 19)
+
+    nodes = scene.wide_nodes
+    n_orders, n_nodes = nodes.shape[0], nodes.shape[1]
+    nodes_flat = nodes.reshape(n_orders * n_nodes, nodes.shape[2])
+
+    z3 = jnp.zeros((b, 3), jnp.float32)
+    zi = jnp.zeros((b,), jnp.int32)
+    zf = jnp.zeros((b,), jnp.float32)
+    init = FusedState(
+        mode=jnp.full((b,), MODE_DEAD, jnp.int32),
+        trav=WideState(ptr=jnp.full((b,), n_nodes, jnp.int32), t=zf, u=zf, v=zf,
+                       tri=jnp.full((b,), -1, jnp.int32),
+                       found=jnp.zeros((b,), bool)),
+        trav_o=z3, trav_d=z3.at[:, 2].set(1.0),
+        path_o=z3, path_d=z3.at[:, 2].set(1.0),
+        hit_t=zf, hit_uv_bary=jnp.zeros((b, 2), jnp.float32),
+        hit_tri=jnp.full((b,), -1, jnp.int32),
+        pending=z3, throughput=z3, radiance=z3,
+        rng=jnp.zeros((b,), jnp.uint32), pixel=zi, depth=zi,
+        max_roughness=zf, prev_pdf=zf, lane_cap=zi,
+        film=jnp.zeros((npix, 3), jnp.float32),
+        queue_head=jnp.asarray(0, jnp.int32),
+        arrivals=jnp.asarray(0, jnp.int32),
+        rays=jnp.asarray(0, jnp.int32),
+        busy=jnp.asarray(0, jnp.int32),
+        ticks=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s: FusedState):
+        return jnp.any(s.mode != MODE_DEAD) | (s.queue_head < budget)
+
+    def body(s: FusedState):
+        inv = safe_rcp(s.trav_d)
+        base = (octant_index(s.trav_d) % n_orders) * n_nodes
+        shadowing = (s.mode == MODE_SHADOW_ENV) | (s.mode == MODE_SHADOW_LIGHT)
+        trav = s.trav
+        for _ in range(TRANSITION_EVERY):
+            active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
+            trav = arrival_step(nodes_flat, n_nodes, base, s.trav_o, s.trav_d,
+                                inv, trav, active)
+        stepping = (s.mode != MODE_DEAD) & (s.trav.ptr < n_nodes)
+        s = s._replace(
+            trav=trav,
+            arrivals=s.arrivals + TRANSITION_EVERY * jnp.sum(stepping.astype(jnp.int32)),
+            busy=s.busy + jnp.sum((s.mode != MODE_DEAD).astype(jnp.int32)),
+            ticks=s.ticks + b,
+        )
+        return _transition(scene, config, params, s, budget, current_sample, n_nodes)
+
+    final = jax.lax.while_loop(cond, body, init)
+    occupancy = final.busy.astype(jnp.float32) / jnp.maximum(
+        final.ticks.astype(jnp.float32), 1.0
+    )
+    return final.film, occupancy, final.rays, final.arrivals
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def fused_pass_and_accumulate(scene, config: RenderConfig,
+                              params: RenderParams, film: ufilm.Film):
+    total, _occ, _r, _a = fused_pass_with_stats(scene, config, params,
+                                                film.sample_count)
+    total = total.reshape(config.height, config.width, 3)
+    return ufilm.accumulate(film, total, config.samples_per_pass)

@@ -24,20 +24,51 @@ from unity_webgpu_pathtracer_tpu.utils.math import INV_PI, INV_TWO_PI, PI, TWO_P
 class EnvMap(NamedTuple):
     """Device-resident environment data (pytree)."""
 
-    image: jnp.ndarray     # (H, W, 3) float32 linear radiance
-    cdf: jnp.ndarray       # (H*W,) inclusive prefix sum of luminance
-    cdf_sum: jnp.ndarray   # () total luminance
+    image: jnp.ndarray       # (H, W, 3) float32 linear radiance
+    cdf: jnp.ndarray         # (H*W,) inclusive prefix sum of luminance
+    cdf_sum: jnp.ndarray     # () total luminance
+    alias_prob: jnp.ndarray  # (H*W,) alias-table acceptance probability
+    alias_idx: jnp.ndarray   # (H*W,) int32 alias texel
+
+
+def _build_alias(weights: np.ndarray):
+    """Vose alias table: O(1) categorical sampling (2 gathers on device,
+    replacing the CDF binary search whose ~15 dependent gathers dominate on
+    TPU)."""
+    k = weights.size
+    p = weights.astype(np.float64)
+    total = p.sum()
+    if total <= 0 or k == 0:
+        return np.ones(max(k, 1), np.float32), np.zeros(max(k, 1), np.int32)
+    p = p * (k / total)
+    prob = np.ones(k, np.float64)
+    alias = np.arange(k, dtype=np.int32)
+    small = [i for i in range(k) if p[i] < 1.0]
+    large = [i for i in range(k) if p[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = p[l] - (1.0 - p[s])
+        (small if p[l] < 1.0 else large).append(l)
+    return prob.astype(np.float32), alias
 
 
 def build_envmap(image: np.ndarray) -> EnvMap:
-    """Build the flat luminance CDF (``PathTracer.cs:299-307`` semantics)."""
+    """Build the flat luminance CDF (``PathTracer.cs:299-307`` semantics)
+    plus the alias table used by the fused integrator."""
     img = np.asarray(image, np.float32)
     lum = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
-    cdf = np.cumsum(lum.reshape(-1), dtype=np.float64).astype(np.float32)
+    flat = lum.reshape(-1)
+    cdf = np.cumsum(flat, dtype=np.float64).astype(np.float32)
+    prob, alias = _build_alias(flat)
     return EnvMap(
         image=jnp.asarray(img),
         cdf=jnp.asarray(cdf),
         cdf_sum=jnp.asarray(cdf[-1] if cdf.size else 0.0, jnp.float32),
+        alias_prob=jnp.asarray(prob),
+        alias_idx=jnp.asarray(alias),
     )
 
 
@@ -116,10 +147,49 @@ def sample_env_map(env: EnvMap, rotation, state):
     return direction, color, pdf, state
 
 
+def _texel_direction_pdf(env: EnvMap, idx, rotation):
+    """Shared tail of the samplers: texel index -> (uv, direction, pdf-jac)."""
+    h, w = env.image.shape[0], env.image.shape[1]
+    x = (idx % w).astype(jnp.float32)
+    y = (idx // w).astype(jnp.float32)
+    uv = jnp.stack([(x + 0.5) / w, (y + 0.5) / h], axis=-1)
+    theta = (1.0 - uv[..., 1]) * PI
+    phi = (uv[..., 0] - rotation) * TWO_PI
+    sin_theta = jnp.sin(theta)
+    direction = jnp.stack(
+        [-sin_theta * jnp.cos(phi), jnp.cos(theta), -sin_theta * jnp.sin(phi)],
+        axis=-1,
+    )
+    return uv, direction, sin_theta
+
+
+def sample_env_map_alias(env: EnvMap, rotation, state):
+    """O(1) alias-method env sample; same distribution as the CDF sampler.
+
+    Returns ``(direction, color, pdf, new_state)``.
+    """
+    from unity_webgpu_pathtracer_tpu.utils import rng as urng
+
+    h, w = env.image.shape[0], env.image.shape[1]
+    k = h * w
+    (u1, u2), state = urng.random_floats(state, 2)
+    bin_ = jnp.clip((u1 * k).astype(jnp.int32), 0, k - 1)
+    take_alias = u2 >= env.alias_prob[bin_]
+    idx = jnp.where(take_alias, env.alias_idx[bin_], bin_)
+    uv, direction, sin_theta = _texel_direction_pdf(env, idx, rotation)
+    color = _bilinear_wrap(env.image, uv)
+    pdf = luminance(color) / jnp.maximum(env.cdf_sum, 1e-20)
+    pdf = pdf * (w * h) / jnp.maximum(TWO_PI * PI * sin_theta, 1e-8)
+    pdf = jnp.where(sin_theta <= 0.0, 0.0, pdf)
+    return direction, color, pdf, state
+
+
 def empty_envmap() -> EnvMap:
     """Placeholder keeping SceneData a fixed pytree when no HDRI is bound."""
     return EnvMap(
         image=jnp.zeros((1, 1, 3), jnp.float32),
         cdf=jnp.ones((1,), jnp.float32),
         cdf_sum=jnp.asarray(1.0, jnp.float32),
+        alias_prob=jnp.ones((1,), jnp.float32),
+        alias_idx=jnp.zeros((1,), jnp.int32),
     )

@@ -23,8 +23,16 @@ from unity_webgpu_pathtracer_tpu.scene.envmap import EnvMap, build_envmap, empty
 from unity_webgpu_pathtracer_tpu.scene.mesh import FlatTriangles, Mesh, concat_flat, flatten_mesh
 
 
+def _z(*shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
+
+
 class SceneData(NamedTuple):
-    """Device-resident flat scene arrays (all shapes static)."""
+    """Device-resident flat scene arrays (all shapes static).
+
+    Acceleration/auxiliary fields default to empty placeholders so partial
+    scenes (tests, single-backend builds) stay cheap pytrees.
+    """
 
     # Geometry: [e2,e1,v0] records + per-triangle attributes.
     tris: jnp.ndarray            # (M, 9) float32
@@ -41,19 +49,23 @@ class SceneData(NamedTuple):
     env: EnvMap
 
     # 8-wide MBVH (SoA): bounds laid out [lox·8, loy·8, loz·8, hix·8, hiy·8, hiz·8].
-    bvh_bounds: jnp.ndarray      # (N, 48) float32
-    bvh_child: jnp.ndarray       # (N, 8) int32 (see accel.mbvh encoding)
+    bvh_bounds: jnp.ndarray = _z(1, 48)       # (N, 48) float32
+    bvh_child: jnp.ndarray = _z(1, 8, dtype=jnp.int32)  # (N, 8) int32
 
     # Skip-pointer linearized BVH2 (accel.linearize), one DFS order per ray
-    # octant. The TPU hot-path traversal format (ops.traverse_skip).
-    skip_nodes: jnp.ndarray      # (O, N2, 8) float32
+    # octant (ops.traverse_skip).
+    skip_nodes: jnp.ndarray = _z(1, 1, 8)     # (O, N2, 8) float32
+
+    # Fat-row 4-ary BVH with inline leaf triangles (accel.wide) — the TPU
+    # production format (ops.traverse_wide): one gather per arrival.
+    wide_nodes: jnp.ndarray = _z(1, 1, 48)    # (O, N4, 48) float32
 
     # TLAS (Aila-Laine 2-wide) + instances.
-    tlas_nodes: jnp.ndarray      # (NT, 16) float32
-    tlas_index: jnp.ndarray      # (I,) int32
-    inst_l2w: jnp.ndarray        # (I, 12) float32 row-major 3x4
-    inst_w2l: jnp.ndarray        # (I, 12) float32
-    inst_offsets: jnp.ndarray    # (I, 4) int32 [node_off, tri_off, attr_off, material]
+    tlas_nodes: jnp.ndarray = _z(0, 16)       # (NT, 16) float32
+    tlas_index: jnp.ndarray = _z(0, dtype=jnp.int32)
+    inst_l2w: jnp.ndarray = _z(0, 12)         # (I, 12) row-major 3x4
+    inst_w2l: jnp.ndarray = _z(0, 12)
+    inst_offsets: jnp.ndarray = _z(0, 4, dtype=jnp.int32)
 
     @property
     def light_count(self) -> int:
@@ -104,11 +116,12 @@ class Scene:
         parts = [flatten_mesh(mesh, transform) for mesh, transform in self.meshes]
         return concat_flat(parts)
 
-    def build(self, traversal: str = "mbvh") -> SceneData:
+    def build(self, traversal: str = "mbvh", octants: int = 1) -> SceneData:
         """Compile to device arrays; builds the acceleration structure.
 
         ``traversal``: "bruteforce" skips the BVH (empty node arrays);
-        "bvh2"/"mbvh"/"cwbvh" run the host builder (accel package).
+        "bvh2"/"mbvh"/"skip"/"wide" run the host builders (accel package).
+        ``octants``: per-ray-octant DFS orders for the wide format (1 or 8).
         """
         flat = self.flatten()
         tris = flat.tri_records()
@@ -116,7 +129,16 @@ class Scene:
         tri_index = np.arange(m, dtype=np.int32)
 
         skip = np.zeros((1, 1, 8), np.float32)
-        if traversal in ("bvh2", "mbvh"):
+        wide = np.zeros((1, 1, 48), np.float32)
+        if traversal == "wide":
+            from unity_webgpu_pathtracer_tpu.accel import build_scene_wide_bvh
+
+            # Inline leaf storage: tris stay in original order (tri_index is
+            # identity); leaf rows carry records + original attribute rows.
+            wide = build_scene_wide_bvh(flat.positions, tris, octants=octants)
+            bounds = np.zeros((1, 48), np.float32)
+            child = np.zeros((1, 8), np.int32)
+        elif traversal in ("bvh2", "mbvh"):
             from unity_webgpu_pathtracer_tpu.accel import build_scene_bvh
 
             bounds, child, order = build_scene_bvh(flat.positions)
@@ -157,6 +179,7 @@ class Scene:
             bvh_bounds=jnp.asarray(bounds),
             bvh_child=jnp.asarray(child),
             skip_nodes=jnp.asarray(skip),
+            wide_nodes=jnp.asarray(wide),
             tlas_nodes=jnp.zeros((0, 16), jnp.float32),
             tlas_index=jnp.zeros((0,), jnp.int32),
             inst_l2w=jnp.zeros((0, 12), jnp.float32),
