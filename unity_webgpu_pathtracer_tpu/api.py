@@ -38,6 +38,7 @@ def _pass_and_accumulate(scene, config, params, film):
 
 class Renderer:
     def __init__(self, scene, config: RenderConfig, params: RenderParams):
+        self._host_scene = scene if isinstance(scene, Scene) else None
         if isinstance(scene, Scene):
             scene = scene.build(config.traversal, octants=config.bvh_octants)
         if not isinstance(scene, SceneData):
@@ -46,6 +47,58 @@ class Renderer:
         self.config = config
         self.params = params
         self.film = ufilm.new_film(config.height, config.width)
+
+    # -- dynamic-scene APIs (each invalidates accumulation like the
+    #    reference's dirty-tracking: PathTracer.cs:169-180, 463-471) --
+
+    def _require_host_scene(self) -> Scene:
+        if self._host_scene is None:
+            raise ValueError("renderer was constructed from SceneData; "
+                             "dynamic updates need the host Scene")
+        return self._host_scene
+
+    def _rebuild(self) -> None:
+        self.scene = self._host_scene.build(
+            self.config.traversal, octants=self.config.bvh_octants
+        )
+        self.reset()
+
+    def update_instance_transform(self, instance_id: int, transform) -> None:
+        """Move an instance; TLAS-only rebuild + accumulation reset
+        (``BVHScene.UpdateTLAS`` -> ``Reset``, PathTracer.cs:169-170)."""
+        self._require_host_scene().set_instance_transform(instance_id, transform)
+        self._rebuild()
+
+    def update_material(self, material_id: int, desc) -> None:
+        """Edit a material (``PathTracer.UpdateMaterialData``, :474)."""
+        scene = self._require_host_scene()
+        scene.materials[material_id] = desc
+        from unity_webgpu_pathtracer_tpu.scene.material import pack_materials
+
+        self.scene = self.scene._replace(
+            materials=jnp.asarray(pack_materials(scene.materials))
+        )
+        self.reset()
+
+    def update_lights(self, lights) -> None:
+        """Replace the light table (``PathTracer.UpdateLights``, :367).
+
+        Changing the light *count* changes array shapes (a recompile, like
+        the reference's HAS_LIGHTS keyword toggle); same-count edits are a
+        cheap buffer upload."""
+        scene = self._require_host_scene()
+        scene.lights = list(lights)
+        from unity_webgpu_pathtracer_tpu.scene.lights import pack_lights
+        import numpy as _np
+
+        table = pack_lights(scene.lights) if scene.lights else _np.zeros((0, 16), _np.float32)
+        self.scene = self.scene._replace(lights=jnp.asarray(table))
+        self.reset()
+
+    def update_camera(self, params: RenderParams) -> None:
+        """New camera/uniforms; resets accumulation (PathTracer.cs:211-222)."""
+        self.params = params
+        self.reset()
 
     def reset(self) -> None:
         """Restart accumulation (``PathTracer.Reset``, PathTracer.cs:318)."""

@@ -49,14 +49,18 @@ def moller_trumbore(tris: jnp.ndarray, origins: jnp.ndarray, directions: jnp.nda
 
 
 def closest_hit_bruteforce(scene, origins: jnp.ndarray, directions: jnp.ndarray):
-    """Closest hit over all triangles. Returns ``(t, bary (B,2), slot (B,))``."""
+    """Closest hit over all triangles.
+
+    Returns ``(t, bary (B,2), slot (B,), inst (B,))``; inst is always -1
+    (the brute-force path ignores instancing).
+    """
     t, u, v = moller_trumbore(scene.tris, origins, directions)
     slot = jnp.argmin(t, axis=-1)
     b = jnp.arange(t.shape[0])
     t_best = t[b, slot]
     bary = jnp.stack([u[b, slot], v[b, slot]], axis=-1)
     slot = jnp.where(t_best < FAR_PLANE, slot, -1).astype(jnp.int32)
-    return t_best, bary, slot
+    return t_best, bary, slot, jnp.full_like(slot, -1)
 
 
 def occluded_bruteforce(scene, origins, directions, t_max):

@@ -158,10 +158,10 @@ def _traverse(scene, origins, directions, t_max, any_hit: bool):
 
 
 def closest_hit(scene, origins, directions):
-    """Closest hit; returns ``(t, bary (B,2), slot)`` like the brute-force op."""
+    """Closest hit; returns ``(t, bary (B,2), slot, inst=-1)``."""
     s = _traverse(scene, origins, directions, jnp.float32(FAR_PLANE), any_hit=False)
     bary = jnp.stack([s.u, s.v], axis=-1)
-    return s.t, bary, s.slot
+    return s.t, bary, s.slot, jnp.full_like(s.slot, -1)
 
 
 def occluded(scene, origins, directions, t_max):

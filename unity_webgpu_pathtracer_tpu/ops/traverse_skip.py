@@ -161,7 +161,7 @@ def _traverse(scene, origins, directions, t_max, any_hit: bool):
 
 def closest_hit(scene, origins, directions):
     s = _traverse(scene, origins, directions, jnp.float32(FAR_PLANE), any_hit=False)
-    return s.t, jnp.stack([s.u, s.v], axis=-1), s.slot
+    return s.t, jnp.stack([s.u, s.v], axis=-1), s.slot, jnp.full_like(s.slot, -1)
 
 
 def occluded(scene, origins, directions, t_max):

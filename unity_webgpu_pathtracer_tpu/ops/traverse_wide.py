@@ -37,6 +37,16 @@ class WideState(NamedTuple):
     v: jnp.ndarray
     tri: jnp.ndarray     # (B,) int32 attribute row of best hit (-1 none)
     found: jnp.ndarray   # (B,) bool
+    # --- instancing registers (identity/no-op when the scene has no TLAS;
+    # `t` stays space-invariant because local directions are unnormalized,
+    # the reference's trick in tlas.hlsl:131-135) ---
+    inst: jnp.ndarray       # (B,) int32 current instance (-1 = world space)
+    hit_inst: jnp.ndarray   # (B,) int32 instance of the best hit
+    resume: jnp.ndarray     # (B,) int32 TLAS position to resume at
+    blas_end: jnp.ndarray   # (B,) int32 end of the current BLAS region
+    local_o: jnp.ndarray    # (B,3)
+    local_d: jnp.ndarray    # (B,3)
+    local_inv: jnp.ndarray  # (B,3)
 
 
 def octant_index(directions):
@@ -48,6 +58,7 @@ def octant_index(directions):
 
 
 def init_state(b, t_max) -> WideState:
+    z3 = jnp.zeros((b, 3), jnp.float32)
     return WideState(
         ptr=jnp.zeros((b,), jnp.int32),
         t=jnp.broadcast_to(t_max, (b,)).astype(jnp.float32),
@@ -55,12 +66,23 @@ def init_state(b, t_max) -> WideState:
         v=jnp.zeros((b,), jnp.float32),
         tri=jnp.full((b,), -1, jnp.int32),
         found=jnp.zeros((b,), bool),
+        inst=jnp.full((b,), -1, jnp.int32),
+        hit_inst=jnp.full((b,), -1, jnp.int32),
+        resume=jnp.zeros((b,), jnp.int32),
+        blas_end=jnp.zeros((b,), jnp.int32),
+        local_o=z3,
+        local_d=z3,
+        local_inv=z3,
     )
 
 
 def arrival_step(nodes_flat, n_nodes, base, o, d, inv, s: WideState,
-                 active=None) -> WideState:
-    """One arrival for every lane (masked by ``active`` and ptr bounds)."""
+                 active=None, inst_w2l=None) -> WideState:
+    """One arrival for every lane (masked by ``active`` and ptr bounds).
+
+    With ``inst_w2l`` given (TLAS scenes), instance rows switch the lane
+    into instance space and BLAS exits restore it (see accel.tlas).
+    """
     live = s.ptr < n_nodes
     if active is not None:
         live = live & active
@@ -69,6 +91,12 @@ def arrival_step(nodes_flat, n_nodes, base, o, d, inv, s: WideState,
     skip = bits[:, 0]
     cnt = bits[:, 1]
     is_leaf = cnt > 0
+
+    if inst_w2l is not None:
+        in_blas = s.inst >= 0
+        o = jnp.where(in_blas[:, None], s.local_o, o)
+        d = jnp.where(in_blas[:, None], s.local_d, d)
+        inv = jnp.where(in_blas[:, None], s.local_inv, inv)
 
     # ---- internal: 4-wide slab test on contiguous SoA slices ----
     t_near = jnp.full_like(row[:, 0:4], 0.0)
@@ -126,16 +154,65 @@ def arrival_step(nodes_flat, n_nodes, base, o, d, inv, s: WideState,
         u_new = jnp.where(better_k, uu[:, k], u_new)
         v_new = jnp.where(better_k, vv[:, k], v_new)
         tri_new = jnp.where(better_k, attrs[:, k], tri_new)
-    found_new = s.found | (t_new < s.t)
+    improved = t_new < s.t
+    found_new = s.found | improved
 
     new_ptr = jnp.where(is_leaf, skip, nxt)
-    return WideState(
+
+    if inst_w2l is None:
+        return s._replace(
+            ptr=jnp.where(live, new_ptr, s.ptr),
+            t=t_new, u=u_new, v=v_new, tri=tri_new, found=found_new,
+        )
+
+    # ---- instance rows: enter instance space, jump into the BLAS ----
+    is_inst = cnt < 0
+    inst_id = jnp.where(is_inst, -cnt - 1, 0)
+    ptrs_i = jax.lax.bitcast_convert_type(row[:, 24:27], jnp.int32)
+    blas_ptr, blas_len = ptrs_i[:, 0], ptrs_i[:, 1]
+    w2l = inst_w2l[inst_id]                                       # (B, 12)
+    lo3 = jnp.stack(
+        [
+            w2l[:, 0] * o[:, 0] + w2l[:, 1] * o[:, 1] + w2l[:, 2] * o[:, 2] + w2l[:, 3],
+            w2l[:, 4] * o[:, 0] + w2l[:, 5] * o[:, 1] + w2l[:, 6] * o[:, 2] + w2l[:, 7],
+            w2l[:, 8] * o[:, 0] + w2l[:, 9] * o[:, 1] + w2l[:, 10] * o[:, 2] + w2l[:, 11],
+        ],
+        axis=-1,
+    )
+    # Direction transformed WITHOUT normalization -> t is space-invariant.
+    ld3 = jnp.stack(
+        [
+            w2l[:, 0] * d[:, 0] + w2l[:, 1] * d[:, 1] + w2l[:, 2] * d[:, 2],
+            w2l[:, 4] * d[:, 0] + w2l[:, 5] * d[:, 1] + w2l[:, 6] * d[:, 2],
+            w2l[:, 8] * d[:, 0] + w2l[:, 9] * d[:, 1] + w2l[:, 10] * d[:, 2],
+        ],
+        axis=-1,
+    )
+    enter = live & is_inst
+    e3 = enter[:, None]
+    local_o = jnp.where(e3, lo3, s.local_o)
+    local_d = jnp.where(e3, ld3, s.local_d)
+    local_inv = jnp.where(e3, safe_rcp(ld3), s.local_inv)
+    inst = jnp.where(enter, inst_id, s.inst)
+    resume = jnp.where(enter, skip, s.resume)
+    blas_end = jnp.where(enter, blas_ptr + blas_len, s.blas_end)
+    new_ptr = jnp.where(is_inst, blas_ptr, new_ptr)
+
+    # ---- BLAS exit: pointer crossed the BLAS region -> back to TLAS ----
+    exited = live & (inst >= 0) & (new_ptr >= blas_end)
+    new_ptr = jnp.where(exited, resume, new_ptr)
+    inst = jnp.where(exited, -1, inst)
+
+    return s._replace(
         ptr=jnp.where(live, new_ptr, s.ptr),
-        t=t_new,
-        u=u_new,
-        v=v_new,
-        tri=tri_new,
-        found=found_new,
+        t=t_new, u=u_new, v=v_new, tri=tri_new, found=found_new,
+        inst=jnp.where(live, inst, s.inst),
+        hit_inst=jnp.where(improved, s.inst, s.hit_inst),
+        resume=resume,
+        blas_end=blas_end,
+        local_o=local_o,
+        local_d=local_d,
+        local_inv=local_inv,
     )
 
 
@@ -147,6 +224,7 @@ def _traverse(scene, origins, directions, t_max, any_hit: bool):
     base = (octant_index(directions) % n_orders) * n_nodes
     inv = safe_rcp(directions)
     init = init_state(b, t_max)
+    inst_w2l = scene.inst_w2l if scene.inst_w2l.shape[0] > 0 else None
 
     def cond(s):
         live = s.ptr < n_nodes
@@ -157,17 +235,17 @@ def _traverse(scene, origins, directions, t_max, any_hit: bool):
     def body(s):
         active = None if not any_hit else ~s.found
         return arrival_step(nodes_flat, n_nodes, base, origins, directions,
-                            inv, s, active)
+                            inv, s, active, inst_w2l)
 
     return jax.lax.while_loop(cond, body, init)
 
 
 def closest_hit(scene, origins, directions):
-    """Returns ``(t, bary (B,2), attr_row)`` — note: unlike the other
-    backends, ``slot`` here is directly the attribute row (inline storage
-    dereferences ``tri_index`` at build time)."""
+    """Returns ``(t, bary (B,2), attr_row, instance)`` — note: unlike the
+    other backends, ``slot`` here is directly the attribute row (inline
+    storage dereferences ``tri_index`` at build time)."""
     s = _traverse(scene, origins, directions, jnp.float32(FAR_PLANE), False)
-    return s.t, jnp.stack([s.u, s.v], axis=-1), s.tri
+    return s.t, jnp.stack([s.u, s.v], axis=-1), s.tri, s.hit_inst
 
 
 def occluded(scene, origins, directions, t_max):

@@ -97,6 +97,7 @@ class FusedState(NamedTuple):
     hit_t: jnp.ndarray         # (B,)
     hit_uv_bary: jnp.ndarray   # (B,2)
     hit_tri: jnp.ndarray       # (B,) int32 attribute row (-1 = miss)
+    hit_inst: jnp.ndarray      # (B,) int32 instance of the hit (-1 = none)
 
     pending: jnp.ndarray       # (B,3) NEE contribution awaiting shadow result
     throughput: jnp.ndarray    # (B,3)
@@ -117,15 +118,18 @@ class FusedState(NamedTuple):
 
 
 def _set_trav(s: FusedState, mask, o, d, t_max):
-    """Point lanes' traversal at a fresh ray."""
+    """Point lanes' traversal at a fresh ray (world space, regs reset)."""
     m3 = mask[:, None]
-    trav = WideState(
-        ptr=jnp.where(mask, 0, s.trav.ptr),
-        t=jnp.where(mask, t_max, s.trav.t),
-        u=jnp.where(mask, 0.0, s.trav.u),
-        v=jnp.where(mask, 0.0, s.trav.v),
-        tri=jnp.where(mask, -1, s.trav.tri),
-        found=jnp.where(mask, False, s.trav.found),
+    tr = s.trav
+    trav = tr._replace(
+        ptr=jnp.where(mask, 0, tr.ptr),
+        t=jnp.where(mask, t_max, tr.t),
+        u=jnp.where(mask, 0.0, tr.u),
+        v=jnp.where(mask, 0.0, tr.v),
+        tri=jnp.where(mask, -1, tr.tri),
+        found=jnp.where(mask, False, tr.found),
+        inst=jnp.where(mask, -1, tr.inst),
+        hit_inst=jnp.where(mask, -1, tr.hit_inst),
     )
     return s._replace(
         trav=trav,
@@ -212,10 +216,19 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     shade = a & hit_valid & ~lhit
 
     # --- material + geometry fetch (gathers: only transitions pay these) ---
+    has_tlas = scene.inst_w2l.shape[0] > 0
     attr = jnp.maximum(s.trav.tri, 0)
     normal = normalize(_interp(bary, scene.attr_normals[attr], 3))
     uv = _interp(bary, scene.attr_uvs[attr], 2)
     mat_idx = scene.attr_material[attr]
+    if has_tlas:
+        from unity_webgpu_pathtracer_tpu.render.hitinfo import (
+            instance_material_override,
+            instance_normal_to_world,
+        )
+
+        normal = instance_normal_to_world(scene, s.trav.hit_inst, normal)
+        mat_idx = instance_material_override(scene, s.trav.hit_inst, mat_idx)
     mdata = scene.materials[jnp.maximum(mat_idx, 0)]
     mat = derive_material(mdata, uv, s.path_d, normal,
                           scene.texture_data, config.has_textures)
@@ -263,6 +276,14 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         nb = normalize(_interp(s.hit_uv_bary, scene.attr_normals[ab], 3))
         uvb = _interp(s.hit_uv_bary, scene.attr_uvs[ab], 2)
         mi = scene.attr_material[ab]
+        if has_tlas:
+            from unity_webgpu_pathtracer_tpu.render.hitinfo import (
+                instance_material_override as imo,
+                instance_normal_to_world as inw,
+            )
+
+            nb = inw(scene, s.hit_inst, nb)
+            mi = imo(scene, s.hit_inst, mi)
         md = scene.materials[jnp.maximum(mi, 0)]
         m = derive_material(md, uvb, s.path_d, nb, scene.texture_data,
                             config.has_textures)
@@ -440,6 +461,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     hit_t = jnp.where(saved, t_hit, s.hit_t)
     hit_bary = jnp.where(saved[:, None], bary, s.hit_uv_bary)
     hit_tri = jnp.where(saved, s.trav.tri, s.hit_tri)
+    hit_inst = jnp.where(saved, s.trav.hit_inst, s.hit_inst)
 
     # Regeneration into dead lanes.
     dead_now = new_mode == MODE_DEAD
@@ -474,6 +496,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         hit_t=hit_t,
         hit_uv_bary=hit_bary,
         hit_tri=hit_tri,
+        hit_inst=hit_inst,
         pending=pending,
         throughput=jnp.where(take[:, None], 1.0, throughput),
         radiance=jnp.where((died | take)[:, None], 0.0, radiance),
@@ -507,15 +530,17 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
     z3 = jnp.zeros((b, 3), jnp.float32)
     zi = jnp.zeros((b,), jnp.int32)
     zf = jnp.zeros((b,), jnp.float32)
+    from unity_webgpu_pathtracer_tpu.ops.traverse_wide import init_state
+
+    trav0 = init_state(b, jnp.float32(0.0))._replace(ptr=jnp.full((b,), n_nodes, jnp.int32))
     init = FusedState(
         mode=jnp.full((b,), MODE_DEAD, jnp.int32),
-        trav=WideState(ptr=jnp.full((b,), n_nodes, jnp.int32), t=zf, u=zf, v=zf,
-                       tri=jnp.full((b,), -1, jnp.int32),
-                       found=jnp.zeros((b,), bool)),
+        trav=trav0,
         trav_o=z3, trav_d=z3.at[:, 2].set(1.0),
         path_o=z3, path_d=z3.at[:, 2].set(1.0),
         hit_t=zf, hit_uv_bary=jnp.zeros((b, 2), jnp.float32),
         hit_tri=jnp.full((b,), -1, jnp.int32),
+        hit_inst=jnp.full((b,), -1, jnp.int32),
         pending=z3, throughput=z3, radiance=z3,
         rng=jnp.zeros((b,), jnp.uint32), pixel=zi, depth=zi,
         max_roughness=zf, prev_pdf=zf, lane_cap=zi,
@@ -530,6 +555,8 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
     def cond(s: FusedState):
         return jnp.any(s.mode != MODE_DEAD) | (s.queue_head < budget)
 
+    inst_w2l = scene.inst_w2l if scene.inst_w2l.shape[0] > 0 else None
+
     def body(s: FusedState):
         inv = safe_rcp(s.trav_d)
         base = (octant_index(s.trav_d) % n_orders) * n_nodes
@@ -538,7 +565,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         for _ in range(TRANSITION_EVERY):
             active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
             trav = arrival_step(nodes_flat, n_nodes, base, s.trav_o, s.trav_d,
-                                inv, trav, active)
+                                inv, trav, active, inst_w2l)
         stepping = (s.mode != MODE_DEAD) & (s.trav.ptr < n_nodes)
         s = s._replace(
             trav=trav,

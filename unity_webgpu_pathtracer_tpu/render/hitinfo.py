@@ -41,13 +41,41 @@ def _interp(bary: jnp.ndarray, attr: jnp.ndarray, width: int) -> jnp.ndarray:
     return a0 * w0 + a1 * bary[:, 0:1] + a2 * bary[:, 1:2]
 
 
-def shade_prep(scene, origins, directions, t, bary, slot) -> HitInfo:
+def instance_normal_to_world(scene, inst, normal):
+    """Transform a local normal by the instance's inverse-transpose
+    (``tlas.hlsl:223``: ``mul(float4(n,0), worldToLocal)``)."""
+    w2l = scene.inst_w2l[jnp.maximum(inst, 0)]
+    n = jnp.stack(
+        [
+            w2l[:, 0] * normal[:, 0] + w2l[:, 4] * normal[:, 1] + w2l[:, 8] * normal[:, 2],
+            w2l[:, 1] * normal[:, 0] + w2l[:, 5] * normal[:, 1] + w2l[:, 9] * normal[:, 2],
+            w2l[:, 2] * normal[:, 0] + w2l[:, 6] * normal[:, 1] + w2l[:, 10] * normal[:, 2],
+        ],
+        axis=-1,
+    )
+    return jnp.where((inst >= 0)[:, None], normalize(n), normal)
+
+
+def instance_material_override(scene, inst, material):
+    """Instance material wins over the per-triangle index
+    (``tlas.hlsl:230``: materialIndex comes from the instance)."""
+    override = scene.inst_offsets[jnp.maximum(inst, 0), 3]
+    use = (inst >= 0) & (override >= 0)
+    return jnp.where(use, override, material)
+
+
+def shade_prep(scene, origins, directions, t, bary, slot, inst=None) -> HitInfo:
     """Gather + interpolate attributes for triangle hits."""
     safe_slot = jnp.maximum(slot, 0)
     attr_row = scene.tri_index[safe_slot]
     normal = normalize(_interp(bary, scene.attr_normals[attr_row], 3))
     tangent = normalize(_interp(bary, scene.attr_tangents[attr_row], 3))
     uv = _interp(bary, scene.attr_uvs[attr_row], 2)
+    material = scene.attr_material[attr_row]
+    if inst is not None and scene.inst_w2l.shape[0] > 0:
+        normal = instance_normal_to_world(scene, inst, normal)
+        tangent = instance_normal_to_world(scene, inst, tangent)
+        material = instance_material_override(scene, inst, material)
     valid = (slot >= 0) & (t < FAR_PLANE)
     position = origins + t[:, None] * directions
     ffnormal = jnp.where(dot1(normal, directions) <= 0.0, normal, -normal)
@@ -58,7 +86,7 @@ def shade_prep(scene, origins, directions, t, bary, slot) -> HitInfo:
         ffnormal=ffnormal,
         tangent=tangent,
         uv=uv,
-        material=scene.attr_material[attr_row],
+        material=material,
         intersect_type=jnp.zeros_like(slot),
         light_index=jnp.full_like(slot, -1),
         valid=valid,

@@ -80,8 +80,8 @@ def trace_bounce(scene, config: RenderConfig, params: RenderParams, s: PathState
     """
     alive = s.alive
 
-    t, bary, slot = closest_fn(scene, s.origin, s.direction)
-    hit = shade_prep(scene, s.origin, s.direction, t, bary, slot)
+    t, bary, slot, inst = closest_fn(scene, s.origin, s.direction)
+    hit = shade_prep(scene, s.origin, s.direction, t, bary, slot, inst)
     if config.has_lights:
         hit = intersect_analytic_lights(scene, s.origin, s.direction, hit)
 

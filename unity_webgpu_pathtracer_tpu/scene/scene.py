@@ -83,6 +83,14 @@ class Scene:
     env_image: np.ndarray | None = None
     # Instancing: (mesh_key, transform, material_index) for TLAS mode.
     instances: list = dataclasses.field(default_factory=list)
+    # Per-mesh BLAS build cache (filled by _build_instanced).
+    _blas_cache: tuple | None = dataclasses.field(default=None, repr=False)
+
+    def set_instance_transform(self, instance_id: int, transform: np.ndarray) -> None:
+        """Move an instance (``Bounce.cs`` analogue); next build() reuses
+        cached BLASes and rebuilds only the TLAS."""
+        mid, _old, mat = self.instances[instance_id]
+        self.instances[instance_id] = (mid, np.asarray(transform, np.float32), mat)
 
     def add_material(self, desc: umaterial.MaterialDesc) -> int:
         self.materials.append(desc)
@@ -122,7 +130,13 @@ class Scene:
         ``traversal``: "bruteforce" skips the BVH (empty node arrays);
         "bvh2"/"mbvh"/"skip"/"wide" run the host builders (accel package).
         ``octants``: per-ray-octant DFS orders for the wide format (1 or 8).
+        Scenes with instances build the two-level (TLAS) wide structure and
+        require ``traversal == "wide"``.
         """
+        if self.instances:
+            if traversal != "wide":
+                raise ValueError("instanced scenes require traversal='wide'")
+            return self._build_instanced()
         flat = self.flatten()
         tris = flat.tri_records()
         m = flat.count
@@ -185,4 +199,71 @@ class Scene:
             inst_l2w=jnp.zeros((0, 12), jnp.float32),
             inst_w2l=jnp.zeros((0, 12), jnp.float32),
             inst_offsets=jnp.zeros((0, 4), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _build_instanced(self) -> SceneData:
+        """Two-level build: per-mesh wide BLASes + TLAS over instances
+        (the analogue of ``BVHScene.cs:601-757``).  Attributes stay in mesh
+        local space; instance transforms are applied at hit-shading time."""
+        from unity_webgpu_pathtracer_tpu.accel import build_scene_wide_bvh
+        from unity_webgpu_pathtracer_tpu.accel.tlas import build_tlas_wide
+        from unity_webgpu_pathtracer_tpu.scene import lights as ulights_mod
+
+        # BLAS tables are cached on the Scene so transform-only updates
+        # (the reference's per-frame TLAS rebuild path, BVHScene.cs:769-841)
+        # rebuild just the small top level.
+        if getattr(self, "_blas_cache", None) is None:
+            blas_tables, blas_bounds, parts = [], [], []
+            attr_base = 0
+            for mesh, _transform in self.meshes:
+                flat = flatten_mesh(mesh, None)
+                recs = flat.tri_records()
+                table = np.array(build_scene_wide_bvh(flat.positions, recs, octants=1))
+                # Re-base the inline leaf attribute indices to the global tables.
+                kinds = table[0, :, 44:46].view(np.int32)[:, 1]
+                idx = table[0, :, 36:40].view(np.int32)
+                idx[kinds > 0] += attr_base
+                table[0, :, 36:40] = idx.view(np.float32)
+                blas_tables.append(table)
+                blas_bounds.append(
+                    (flat.positions.reshape(-1, 3).min(0),
+                     flat.positions.reshape(-1, 3).max(0))
+                )
+                parts.append(flat)
+                attr_base += flat.count
+            self._blas_cache = (blas_tables, blas_bounds, parts)
+        blas_tables, blas_bounds, parts = self._blas_cache
+
+        flat_all = concat_flat(parts)
+        tris = flat_all.tri_records()
+        m = flat_all.count
+
+        instances = [(mid, t, mat) for (mid, t, mat) in self.instances]
+        tl = build_tlas_wide(blas_tables, blas_bounds, instances)
+        inst_offsets = np.zeros((len(instances), 4), np.int32)
+        inst_offsets[:, 3] = tl.inst_material
+
+        materials = umaterial.pack_materials(self.materials or [umaterial.MaterialDesc()])
+        atlas = utexture.build_atlas(self.textures)
+        light_table = (
+            ulights_mod.pack_lights(self.lights) if self.lights else np.zeros((0, 16), np.float32)
+        )
+        env = build_envmap(self.env_image) if self.env_image is not None else empty_envmap()
+
+        return SceneData(
+            tris=jnp.asarray(tris),
+            tri_index=jnp.arange(m, dtype=jnp.int32),
+            attr_normals=jnp.asarray(flat_all.normals.reshape(m, 9)),
+            attr_tangents=jnp.asarray(flat_all.tangents.reshape(m, 9)),
+            attr_uvs=jnp.asarray(flat_all.uvs.reshape(m, 6)),
+            attr_material=jnp.asarray(flat_all.material),
+            materials=jnp.asarray(materials),
+            texture_data=jnp.asarray(atlas),
+            lights=jnp.asarray(light_table),
+            env=env,
+            wide_nodes=jnp.asarray(tl.nodes),
+            inst_l2w=jnp.asarray(tl.inst_l2w),
+            inst_w2l=jnp.asarray(tl.inst_w2l),
+            inst_offsets=jnp.asarray(inst_offsets),
         )
