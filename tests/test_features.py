@@ -1,0 +1,170 @@
+"""Feature-level image tests: textures + alpha mask, analytic lights, DoF,
+tonemap chain, preview renderer, CWBVH quantization, profiling."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from unity_webgpu_pathtracer_tpu.api import Renderer
+from unity_webgpu_pathtracer_tpu.config import PostParams, RenderConfig
+from unity_webgpu_pathtracer_tpu.models.examples import (
+    camera_aperture_scene,
+    lights_scene,
+    texture_scene,
+)
+from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+from unity_webgpu_pathtracer_tpu.post import tonemap as tm
+
+
+def _render(builder, size=48, spp=16, **cfg_extra):
+    scene, cam, overrides = builder()
+    overrides = dict(overrides)
+    overrides.pop("traversal", None)
+    overrides.setdefault("has_lights", bool(scene.lights))
+    overrides.setdefault("has_textures", bool(scene.textures))
+    overrides.update(cfg_extra)
+    config = RenderConfig(width=size, height=size, samples_per_pass=spp,
+                          max_bounces=3, traversal="wide", **overrides)
+    params = make_camera_params(width=size, height=size, **cam)
+    r = Renderer(scene, config, params)
+    r.render(1)
+    return r.radiance()
+
+
+def test_texture_and_alpha_mask():
+    img = _render(texture_scene)
+    assert np.isfinite(img).all()
+    # Checker texture: center columns alternate in red/green dominance.
+    mid = img[20:28, 16:32]
+    assert mid.std() > 0.02
+    # Alpha-masked border: rays pass through the quad edge to the floor/sky,
+    # so the border region differs from an opaque quad's rendering.
+    opaque = _render(lambda: _opaque_texture_scene())
+    border_masked = img[8:12, 8:40].mean()
+    border_opaque = opaque[8:12, 8:40].mean()
+    assert abs(border_masked - border_opaque) > 0.01
+
+
+def _opaque_texture_scene():
+    scene, cam, overrides = texture_scene()
+    scene.materials[0].alpha_mode = 0
+    return scene, cam, overrides
+
+
+def test_analytic_lights_illuminate():
+    img = _render(lights_scene, spp=24)
+    assert np.isfinite(img).all()
+    # No sky: all energy comes from the lights. Floor must be lit.
+    assert img.mean() > 0.005
+    assert img.max() > 0.05
+
+
+def test_depth_of_field_geometry():
+    """Thin-lens rays: origins spread over the aperture disk and converge
+    exactly at the focal plane (camera.hlsl:22-38 semantics)."""
+    from unity_webgpu_pathtracer_tpu.render import camera as uc
+
+    config = RenderConfig(width=8, height=8, use_depth_of_field=True)
+    params = uc.make_camera_params(eye=(0, 0, 4), target=(0, 0, 0), fov_y_deg=40,
+                                   width=8, height=8, aperture=0.5, focal_length=4.0)
+    st = jnp.arange(256, dtype=jnp.uint32)
+    coords = jnp.stack([jnp.full((256,), 4.0), jnp.full((256,), 4.0)], -1)
+    o, d, _ = uc.get_screen_ray(coords, config, params, st)
+    o, d = np.asarray(o), np.asarray(d)
+    assert o[:, 0].std() > 0.05 and o[:, 1].std() > 0.05  # lens sampling
+    t = (0 - o[:, 2]) / d[:, 2]
+    p = o + t[:, None] * d
+    assert p.std(axis=0).max() < 1e-6                      # focal convergence
+
+
+def test_depth_of_field_blurs_out_of_focus():
+    scene, cam, overrides = camera_aperture_scene()
+    size = 48
+    cam = dict(cam, aperture=1.2, focal_length=1.5)        # strongly defocused
+    config = RenderConfig(width=size, height=size, samples_per_pass=48,
+                          max_bounces=2, traversal="wide", **overrides)
+    r = Renderer(scene, config, make_camera_params(width=size, height=size, **cam))
+    r.render(1)
+    dof = r.radiance()
+
+    scene2, _, _ = camera_aperture_scene()
+    cam_pin = dict(cam, aperture=0.0, focal_length=0.0)
+    config_pin = RenderConfig(width=size, height=size, samples_per_pass=48,
+                              max_bounces=2, traversal="wide",
+                              sky_mode=overrides["sky_mode"])
+    r2 = Renderer(scene2, config_pin, make_camera_params(width=size, height=size, **cam_pin))
+    r2.render(1)
+    pin = r2.radiance()
+
+    def grad_energy(x, k=4):
+        # Downsample first: per-pixel MC noise would otherwise dominate the
+        # gradient; defocus blur survives averaging, noise does not.
+        h = x.shape[0] // k
+        ds = x.reshape(h, k, h, k, 3).mean((1, 3)).mean(-1)
+        return np.abs(np.diff(ds, axis=0)).mean() + np.abs(np.diff(ds, axis=1)).mean()
+
+    assert grad_energy(dof) < grad_energy(pin) * 0.7
+
+
+def test_tonemap_operators_behave():
+    x = jnp.asarray(np.linspace(0, 8, 64, dtype=np.float32).reshape(-1, 1).repeat(3, 1))
+    for op in (tm.aces, tm.filmic, tm.reinhard, tm.lottes):
+        y = np.asarray(op(x))
+        assert np.isfinite(y).all()
+        assert (np.diff(y[:, 0]) >= -1e-3).all(), op.__name__  # monotone
+        assert y[-1, 0] <= 1.4
+    # sRGB round trip.
+    v = jnp.asarray(np.linspace(0, 1, 32, dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(tm.srgb_to_linear(tm.linear_to_srgb(v))),
+                               np.asarray(v), atol=1e-5)
+    # Presentation chain output in [0,1].
+    img = jnp.asarray(np.random.default_rng(0).uniform(0, 4, (16, 16, 3)).astype(np.float32))
+    out = np.asarray(tm.present(img, PostParams(vignette=0.3)))
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_preview_renderer():
+    from unity_webgpu_pathtracer_tpu.render.preview import preview
+    from unity_webgpu_pathtracer_tpu.models.cornell import cornell_box
+
+    scene, cam = cornell_box()
+    size = 32
+    config = RenderConfig(width=size, height=size, traversal="wide", sky_mode=2)
+    data = scene.build("wide")
+    params = make_camera_params(width=size, height=size, **cam)
+    img = np.asarray(preview(data, config, params))
+    assert img.shape == (size, size, 3)
+    assert np.isfinite(img).all()
+    # Red wall visible on the left, green on the right.
+    assert img[16, 2, 0] > img[16, 2, 1]
+    assert img[16, -3, 1] > img[16, -3, 0]
+
+
+def test_cwbvh_parity_format():
+    from unity_webgpu_pathtracer_tpu.accel import bvh2, mbvh
+    from unity_webgpu_pathtracer_tpu.accel.cwbvh import build_cwbvh, validate_cwbvh
+
+    r = np.random.default_rng(0)
+    pos = (r.uniform(-10, 10, (300, 1, 3)) + r.normal(0, 0.5, (300, 3, 3))).astype(np.float32)
+    bounds, child, order = mbvh.collapse_to_mbvh8(bvh2.build_bvh2(pos))
+    nodes = build_cwbvh(bounds, child)
+    assert nodes.shape[1] == 20  # 80-byte / 5xfloat4 records
+    validate_cwbvh(nodes, bounds, child)
+
+
+def test_profiling_utilities():
+    from unity_webgpu_pathtracer_tpu.models.cornell import cornell_box
+    from unity_webgpu_pathtracer_tpu.utils.profiling import RenderStats, Timer, scene_summary
+
+    scene, _ = cornell_box()
+    data = scene.build("wide")
+    stats = scene_summary(data)
+    assert stats["triangles"] == int(data.tris.shape[0])
+    assert stats["hbm_bytes"] > 0
+    rs = RenderStats()
+    rs.update(1_000_000, 5_000_000, 0.8, 0.5)
+    assert abs(rs.mrays_per_sec - 2.0) < 1e-6
+    with Timer("t", log=None) as t:
+        pass
+    assert t.elapsed >= 0

@@ -1,0 +1,129 @@
+"""Command-line renderer.
+
+Examples::
+
+    python -m unity_webgpu_pathtracer_tpu.cli render builtin:cornell \
+        --spp 256 --size 512 --out cornell.png
+    python -m unity_webgpu_pathtracer_tpu.cli render model.glb --spp 64 \
+        --env sky.hdr --tonemap aces
+    python -m unity_webgpu_pathtracer_tpu.cli examples
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+TONEMAPS = {"none": 0, "aces": 1, "filmic": 2, "reinhard": 3, "lottes": 4}
+
+
+def _load_scene(spec: str):
+    from unity_webgpu_pathtracer_tpu.models.examples import EXAMPLES
+
+    if spec.startswith("builtin:"):
+        name = spec.split(":", 1)[1]
+        if name not in EXAMPLES:
+            raise SystemExit(f"unknown builtin '{name}'; try: {', '.join(EXAMPLES)}")
+        return EXAMPLES[name]()
+    if spec.endswith(".obj"):
+        from unity_webgpu_pathtracer_tpu.scene.obj import load_obj
+
+        return load_obj(spec), dict(eye=(0, 1, 4), target=(0, 0, 0), fov_y_deg=45.0), {}
+    if spec.endswith((".glb", ".gltf")):
+        from unity_webgpu_pathtracer_tpu.scene.gltf import load_gltf
+
+        return load_gltf(spec), dict(eye=(0, 1, 4), target=(0, 0, 0), fov_y_deg=45.0), {}
+    raise SystemExit(f"unrecognized scene spec: {spec}")
+
+
+def cmd_render(args):
+    from unity_webgpu_pathtracer_tpu.api import Renderer
+    from unity_webgpu_pathtracer_tpu.config import PostParams, RenderConfig, SKY_MODE_ENVIRONMENT
+    from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+    from unity_webgpu_pathtracer_tpu.utils.image import read_hdr
+
+    scene, cam, overrides = _load_scene(args.scene)
+    if args.env:
+        scene.set_environment(read_hdr(args.env))
+        overrides = dict(overrides, sky_mode=SKY_MODE_ENVIRONMENT,
+                         has_environment_texture=True)
+    if args.eye:
+        cam["eye"] = tuple(float(x) for x in args.eye.split(","))
+    if args.target:
+        cam["target"] = tuple(float(x) for x in args.target.split(","))
+    if args.fov:
+        cam["fov_y_deg"] = args.fov
+
+    width = height = args.size
+    overrides.setdefault("traversal", args.traversal)
+    config = RenderConfig(
+        width=width, height=height,
+        samples_per_pass=min(args.spp, args.spp_per_pass),
+        max_bounces=args.bounces,
+        integrator=args.integrator,
+        has_lights=bool(scene.lights) or overrides.pop("has_lights", False),
+        has_textures=bool(scene.textures) or overrides.pop("has_textures", False),
+        **overrides,
+    )
+    params = make_camera_params(width=width, height=height, **cam)
+    r = Renderer(scene, config, params)
+
+    t0 = time.time()
+    passes = max(1, args.spp // config.samples_per_pass)
+    for i in range(passes):
+        r.step()
+        if args.verbose:
+            print(f"pass {i + 1}/{passes} ({r.sample_count} spp, "
+                  f"{time.time() - t0:.1f}s)", file=sys.stderr)
+    r.film.accum.block_until_ready()
+    print(f"rendered {r.sample_count} spp in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    post = PostParams(mode=TONEMAPS[args.tonemap], exposure=args.exposure)
+    r.save_png(args.out, post)
+    print(args.out)
+
+
+def cmd_examples(_args):
+    from unity_webgpu_pathtracer_tpu.models.examples import EXAMPLES
+
+    for name in EXAMPLES:
+        print(f"builtin:{name}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="unity_webgpu_pathtracer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to PNG")
+    pr.add_argument("scene", help="builtin:<name> | path.obj | path.glb")
+    pr.add_argument("--out", default="render.png")
+    pr.add_argument("--size", type=int, default=512)
+    pr.add_argument("--spp", type=int, default=64)
+    pr.add_argument("--spp-per-pass", type=int, default=4)
+    pr.add_argument("--bounces", type=int, default=5)
+    pr.add_argument("--integrator", default="megakernel",
+                    choices=["megakernel", "wavefront", "fused"])
+    pr.add_argument("--traversal", default="wide",
+                    choices=["bruteforce", "mbvh", "skip", "wide"])
+    pr.add_argument("--env", help="HDRI .hdr environment map")
+    pr.add_argument("--tonemap", default="aces", choices=list(TONEMAPS))
+    pr.add_argument("--exposure", type=float, default=1.0)
+    pr.add_argument("--eye", help="camera eye 'x,y,z'")
+    pr.add_argument("--target", help="camera target 'x,y,z'")
+    pr.add_argument("--fov", type=float)
+    pr.add_argument("-v", "--verbose", action="store_true")
+    pr.set_defaults(fn=cmd_render)
+
+    pe = sub.add_parser("examples", help="list builtin scenes")
+    pe.set_defaults(fn=cmd_examples)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
