@@ -79,8 +79,8 @@ def test_traversal_matches_bruteforce(ntri, nray):
     scene = _scene_from_positions(pos)
     o, d = _random_rays(nray, seed=ntri + 1)
 
-    t_bvh, bary_bvh, slot_bvh = trav.closest_hit(scene, o, d)
-    t_bf, bary_bf, slot_bf = bf.closest_hit_bruteforce(scene, o, d)
+    t_bvh, bary_bvh, slot_bvh, _ = trav.closest_hit(scene, o, d)
+    t_bf, bary_bf, slot_bf, _ = bf.closest_hit_bruteforce(scene, o, d)
 
     np.testing.assert_allclose(np.asarray(t_bvh), np.asarray(t_bf), rtol=1e-4, atol=1e-4)
     hit = np.asarray(t_bf) < FAR_PLANE

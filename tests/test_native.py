@@ -55,8 +55,8 @@ def test_native_matches_numpy_hits():
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     d = jnp.asarray(d)
 
-    t1, _, s1 = trav.closest_hit(scene_np, o, d)
-    t2, _, s2 = trav.closest_hit(scene_nat, o, d)
+    t1, _, s1, _ = trav.closest_hit(scene_np, o, d)
+    t2, _, s2, _ = trav.closest_hit(scene_nat, o, d)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-4, atol=1e-4)
     # Same original triangle (orders differ; map through tri_index).
     hit = np.asarray(t1) < 1e4

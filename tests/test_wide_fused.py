@@ -38,8 +38,8 @@ def test_wide_matches_bruteforce(ntri, octants):
     scene, nodes = _wide_scene(pos, octants)
     validate_wide(nodes, ntri)
     o, d = _random_rays(512, seed=ntri)
-    t1, b1, s1 = tw.closest_hit(scene, o, d)
-    t2, b2, s2 = bf.closest_hit_bruteforce(scene, o, d)
+    t1, b1, s1, _ = tw.closest_hit(scene, o, d)
+    t2, b2, s2, _ = bf.closest_hit_bruteforce(scene, o, d)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-4, atol=1e-4)
     hit = np.asarray(t2) < 1e5
     np.testing.assert_array_equal(np.asarray(s1)[hit], np.asarray(s2)[hit])

@@ -215,11 +215,20 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
 
     shade = a & hit_valid & ~lhit
 
-    # --- material + geometry fetch (gathers: only transitions pay these) ---
+    # --- unified hit frame: ONE material/attribute fetch per transition ---
+    # Stage-A lanes read their fresh traversal registers; NEE/BSDF-stage
+    # lanes read their saved hit registers. The two populations are
+    # disjoint, so a single selected gather+derive serves everyone (the
+    # duplicate derives dominated transition cost).
     has_tlas = scene.inst_w2l.shape[0] > 0
-    attr = jnp.maximum(s.trav.tri, 0)
-    normal = normalize(_interp(bary, scene.attr_normals[attr], 3))
-    uv = _interp(bary, scene.attr_uvs[attr], 2)
+    sel_tri = jnp.where(a, s.trav.tri, s.hit_tri)
+    sel_bary = jnp.where(a[:, None], bary, s.hit_uv_bary)
+    sel_t = jnp.where(a, t_hit, s.hit_t)
+    sel_inst = jnp.where(a, s.trav.hit_inst, s.hit_inst)
+
+    attr = jnp.maximum(sel_tri, 0)
+    normal = normalize(_interp(sel_bary, scene.attr_normals[attr], 3))
+    uv = _interp(sel_bary, scene.attr_uvs[attr], 2)
     mat_idx = scene.attr_material[attr]
     if has_tlas:
         from unity_webgpu_pathtracer_tpu.render.hitinfo import (
@@ -227,8 +236,8 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
             instance_normal_to_world,
         )
 
-        normal = instance_normal_to_world(scene, s.trav.hit_inst, normal)
-        mat_idx = instance_material_override(scene, s.trav.hit_inst, mat_idx)
+        normal = instance_normal_to_world(scene, sel_inst, normal)
+        mat_idx = instance_material_override(scene, sel_inst, mat_idx)
     mdata = scene.materials[jnp.maximum(mat_idx, 0)]
     mat = derive_material(mdata, uv, s.path_d, normal,
                           scene.texture_data, config.has_textures)
@@ -241,7 +250,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         ay=jnp.maximum(0.001, max_roughness * aspect),
     )
     ffnormal = jnp.where(dot1(normal, s.path_d) <= 0.0, normal, -normal)
-    position = s.path_o + t_hit[:, None] * s.path_d
+    position = s.path_o + sel_t[:, None] * s.path_d
     scatter_pos = position + normal * EPSILON
 
     radiance = radiance + jnp.where(shade[:, None], mat.emission * s.throughput, 0.0)
@@ -268,49 +277,12 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         s.pending * s.throughput, 0.0,
     )
 
-    # Lanes needing hit-frame data for the NEXT stage (env lanes re-derive
-    # their material/frame from stored hit regs). Computed at most once per
-    # transition (memoized) — the gathers inside dominate transition cost.
-    def hit_frame():
-        ab = jnp.maximum(s.hit_tri, 0)
-        nb = normalize(_interp(s.hit_uv_bary, scene.attr_normals[ab], 3))
-        uvb = _interp(s.hit_uv_bary, scene.attr_uvs[ab], 2)
-        mi = scene.attr_material[ab]
-        if has_tlas:
-            from unity_webgpu_pathtracer_tpu.render.hitinfo import (
-                instance_material_override as imo,
-                instance_normal_to_world as inw,
-            )
-
-            nb = inw(scene, s.hit_inst, nb)
-            mi = imo(scene, s.hit_inst, mi)
-        md = scene.materials[jnp.maximum(mi, 0)]
-        m = derive_material(md, uvb, s.path_d, nb, scene.texture_data,
-                            config.has_textures)
-        asp = jnp.sqrt(1.0 - m.anisotropic * 0.9)
-        m = m._replace(
-            roughness=s.max_roughness,
-            ax=jnp.maximum(0.001, s.max_roughness / asp),
-            ay=jnp.maximum(0.001, s.max_roughness * asp),
-        )
-        ffn = jnp.where(dot1(nb, s.path_d) <= 0.0, nb, -nb)
-        pos = s.path_o + s.hit_t[:, None] * s.path_d
-        return m, nb, ffn, pos + nb * EPSILON
-
-    hf_cache = []
-
-    def hit_frame_cached():
-        if not hf_cache:
-            hf_cache.append(hit_frame())
-        return hf_cache[0]
-
     # =====================================================================
     # NEE setups + BSDF sampling, routed per config.
     # =====================================================================
     # Which lanes are entering each NEE stage this transition:
     to_env = shade if env_nee else jnp.zeros((b,), bool)
-    after_env_src = env_done
-    to_light_from = after_env_src if env_nee else shade
+    to_light_from = env_done if env_nee else shade
     to_light = to_light_from if light_nee else jnp.zeros((b,), bool)
     # Lanes ready for BSDF sampling:
     if light_nee:
@@ -324,38 +296,23 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     new_mode = s.mode
     sn = s
 
-    # --- env NEE setup (light.hlsl:125-158) ---
+    # --- env NEE direction/Li (light.hlsl:125-158) ---
     if env_nee:
-        mat_a, nrm_a, ffn_a, spos_a = (mat, normal, ffnormal, scatter_pos)
         if config.has_environment_texture:
-            ldir, lcol, lpdf, rng_state = sample_env_map_alias(
+            env_dir, env_col, env_pdf, rng_state = sample_env_map_alias(
                 scene.env, params.environment_rotation, rng_state
             )
-            f_e, bpdf_e = ubsdf.eval_brdf(mat_a, -s.path_d, ffn_a, ldir)
-            mis_e = power_heuristic(lpdf, bpdf_e)
-            contrib = (
-                mis_e[:, None] * lcol * f_e * params.environment_intensity
-                / jnp.maximum(lpdf, 1e-20)[:, None]
-            )
-            ok = (bpdf_e > 0) & (lpdf > 0) & (mis_e > 0)
+            env_li = env_col * params.environment_intensity
         else:
             (r1, r2), rng_state = urng.random_floats(rng_state, 2)
-            ldir = uniform_sample_sphere(r1, r2)
-            lpdf_c = 1.0 / (4.0 * PI)
-            f_e, bpdf_e = ubsdf.eval_brdf(mat_a, -s.path_d, ffn_a, ldir)
-            mis_e = power_heuristic(lpdf_c, bpdf_e)
-            li = params.environment_color * params.environment_intensity
-            contrib = mis_e[:, None] * li * f_e / lpdf_c
-            ok = (bpdf_e > 0) & (mis_e > 0)
-        pending = jnp.where(to_env[:, None], jnp.where(ok[:, None], contrib, 0.0), pending)
-        sn = _set_trav(sn, to_env, spos_a, ldir, jnp.float32(FAR_PLANE))
-        new_mode = jnp.where(to_env, MODE_SHADOW_ENV, new_mode)
+            env_dir = uniform_sample_sphere(r1, r2)
+            env_pdf = jnp.full((b,), 1.0 / (4.0 * PI), jnp.float32)
+            env_li = jnp.broadcast_to(
+                params.environment_color * params.environment_intensity, (b, 3)
+            )
 
-    # --- analytic light NEE setup (light.hlsl:117-173 semantics) ---
+    # --- analytic light NEE direction/Li (light.hlsl:117-173 semantics) ---
     if light_nee:
-        mat_l, nrm_l, ffn_l, spos_l = hit_frame_cached() if env_nee else (
-            mat, normal, ffnormal, scatter_pos
-        )
         lcount = scene.lights.shape[0]
         u_pick, rng_state = urng.random_float(rng_state)
         li_idx = jnp.clip((u_pick * lcount).astype(jnp.int32), 0, lcount - 1)
@@ -366,49 +323,68 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         lrange, larea = rec[:, 7], rec[:, 11]
         (r1, r2), rng_state = urng.random_floats(rng_state, 2)
         rect_surface = lpos + lu * r1[:, None] + lv * r2[:, None]
-        to_rect = rect_surface - spos_l
+        to_rect = rect_surface - scatter_pos
         rect_dist = length(to_rect)
         rect_dir = to_rect / jnp.maximum(rect_dist, 1e-20)[:, None]
         rect_normal = normalize(cross(lu, lv))
         rect_pdf = rect_dist**2 / jnp.maximum(
             larea * jnp.abs(dot(rect_normal, rect_dir)), 1e-20
         )
-        to_l = lpos - spos_l
+        to_l = lpos - scatter_pos
         delta_dist = length(to_l)
         delta_dir = to_l / jnp.maximum(delta_dist, 1e-20)[:, None]
         is_rect = ltype == LIGHT_TYPE_RECTANGLE
         is_spot = ltype == LIGHT_TYPE_SPOT
         is_point = ltype == LIGHT_TYPE_POINT
-        ldir2 = jnp.where(is_rect[:, None], rect_dir, delta_dir)
+        light_dir = jnp.where(is_rect[:, None], rect_dir, delta_dir)
         ldist = jnp.where(is_rect, rect_dist, delta_dist)
         lnormal = jnp.where(is_rect[:, None], rect_normal,
                             jnp.where(is_spot[:, None], normalize(lu), -delta_dir))
         lpdf2 = jnp.where(is_rect, rect_pdf, 0.0)
         falloff = _unity_falloff(ldist, lrange)
-        cos_t = dot(-ldir2, normalize(lnormal))
+        cos_t = dot(-light_dir, normalize(lnormal))
         falloff = jnp.where(is_rect & (cos_t < 0), 0.0, falloff)
         cos_outer, cos_inner = rec[:, 12], rec[:, 13]
         spot_fade = jnp.clip((cos_t - cos_outer) /
                              jnp.maximum(cos_inner - cos_outer, 1e-6), 0.0, 1.0)
         falloff = jnp.where(is_spot, falloff * spot_fade, falloff)
-        f_l, _ = ubsdf.eval_brdf(mat_l, -s.path_d, nrm_l, ldir2)
-        contrib_l = emission * falloff[:, None] * f_l / jnp.where(
+
+    # --- merged NEE eval: to_env and to_light lanes are disjoint, so ONE
+    # eval_brdf serves both (env evaluates about ffnormal, analytic lights
+    # about the raw normal — the reference's asymmetry, light.hlsl:105/134).
+    if env_nee and light_nee:
+        l_eval = jnp.where(to_light[:, None], light_dir, env_dir)
+        n_eval = jnp.where(to_light[:, None], normal, ffnormal)
+        f_u, bpdf_u = ubsdf.eval_brdf(mat, -s.path_d, n_eval, l_eval)
+    elif env_nee:
+        f_u, bpdf_u = ubsdf.eval_brdf(mat, -s.path_d, ffnormal, env_dir)
+    elif light_nee:
+        f_u, bpdf_u = ubsdf.eval_brdf(mat, -s.path_d, normal, light_dir)
+
+    if env_nee:
+        mis_e = power_heuristic(env_pdf, bpdf_u)
+        contrib = (
+            mis_e[:, None] * env_li * f_u
+            / jnp.maximum(env_pdf, 1e-20)[:, None]
+        )
+        ok = (bpdf_u > 0) & (env_pdf > 0) & (mis_e > 0)
+        pending = jnp.where(to_env[:, None], jnp.where(ok[:, None], contrib, 0.0), pending)
+        sn = _set_trav(sn, to_env, scatter_pos, env_dir, jnp.float32(FAR_PLANE))
+        new_mode = jnp.where(to_env, MODE_SHADOW_ENV, new_mode)
+
+    if light_nee:
+        contrib_l = emission * falloff[:, None] * f_u / jnp.where(
             lpdf2 > 0, lpdf2, 1.0
         )[:, None]
         ok_l = (is_rect | is_spot | is_point) & (falloff > 0)
         pending = jnp.where(to_light[:, None],
                             jnp.where(ok_l[:, None], contrib_l, 0.0), pending)
-        sn = _set_trav(sn, to_light, spos_l, ldir2, ldist - EPSILON)
+        sn = _set_trav(sn, to_light, scatter_pos, light_dir, ldist - EPSILON)
         new_mode = jnp.where(to_light, MODE_SHADOW_LIGHT, new_mode)
 
     # --- BSDF sample + Russian roulette -> next bounce or death ---
-    if env_nee or light_nee:
-        mat_b, nrm_b, ffn_b, spos_b = hit_frame_cached()
-        pos_b = s.path_o + s.hit_t[:, None] * s.path_d
-    else:
-        mat_b, nrm_b, ffn_b = mat, normal, ffnormal
-        pos_b = position
-    f_s, l_s, pdf_s, rng_state = ubsdf.sample_brdf(mat_b, -s.path_d, ffn_b, rng_state)
+    pos_b = position
+    f_s, l_s, pdf_s, rng_state = ubsdf.sample_brdf(mat, -s.path_d, ffnormal, rng_state)
     nan_lane = jnp.isnan(f_s).any(-1) | jnp.isnan(pdf_s)
     sample_ok = to_bsdf & ~nan_lane & (pdf_s > 0.0)
     throughput = jnp.where(
@@ -444,11 +420,11 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         jnp.where(died[:, None], rad_out, 0.0)
     )
 
-    # Continuing bounce: new primary ray. Passthrough restarts from the
-    # *current* hit position (its hit regs are only saved below).
+    # Continuing bounce: new primary ray (position comes from the unified
+    # hit frame for both passthrough and BSDF continuation).
     new_dir = jnp.where(passthrough[:, None], s.path_d, l_s)
     bounce = continue_ray | passthrough
-    new_origin = jnp.where(passthrough[:, None], position, pos_b) + new_dir * EPSILON
+    new_origin = pos_b + new_dir * EPSILON
     path_o = jnp.where(bounce[:, None], new_origin, s.path_o)
     path_d = jnp.where(bounce[:, None], new_dir, s.path_d)
     sn = _set_trav(sn, bounce, path_o, path_d, jnp.float32(FAR_PLANE))
