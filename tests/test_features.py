@@ -143,14 +143,30 @@ def test_preview_renderer():
 
 def test_cwbvh_parity_format():
     from unity_webgpu_pathtracer_tpu.accel import bvh2, mbvh
-    from unity_webgpu_pathtracer_tpu.accel.cwbvh import build_cwbvh, validate_cwbvh
+    from unity_webgpu_pathtracer_tpu.accel.cwbvh import (
+        build_cwbvh,
+        build_cwbvh_from_positions,
+        validate_cwbvh,
+    )
 
     r = np.random.default_rng(0)
     pos = (r.uniform(-10, 10, (300, 1, 3)) + r.normal(0, 0.5, (300, 3, 3))).astype(np.float32)
-    bounds, child, order = mbvh.collapse_to_mbvh8(bvh2.build_bvh2(pos))
-    nodes = build_cwbvh(bounds, child)
+    bounds, child, order = mbvh.collapse_to_mbvh8(bvh2.build_bvh2(pos, leaf_size=3))
+    nodes, tri_order = build_cwbvh(bounds, child)
     assert nodes.shape[1] == 20  # 80-byte / 5xfloat4 records
+    assert sorted(tri_order.tolist()) == list(range(300))
     validate_cwbvh(nodes, bounds, child)
+    # Meta bytes stay in range: unary counts <=3 bits, offsets <=5 bits.
+    iview = nodes.view(np.uint32)
+    meta = np.stack([iview[:, 6], iview[:, 7]], -1).view(np.uint8).reshape(-1, 8)
+    inner = (meta & 0b11111) >= 24
+    assert ((meta[~inner] & 0b11111) <= 24).all()
+
+    # Full pipeline: reordered triangle records carry original indices.
+    nodes2, recs, final_order = build_cwbvh_from_positions(pos)
+    assert recs.shape == (300, 12)
+    idx = recs[:, 11].view(np.int32)
+    np.testing.assert_array_equal(idx, final_order)
 
 
 def test_profiling_utilities():

@@ -35,16 +35,19 @@ def _unary(count: int) -> int:
 
 
 def build_cwbvh(bounds: np.ndarray, child: np.ndarray):
-    """MBVH8 (accel.mbvh arrays) -> CWBVH nodes.
+    """MBVH8 (accel.mbvh arrays, built with leaf_size ≤ 3) -> CWBVH nodes.
 
-    Returns ``(nodes (N, 20) float32, child_index_map)`` where node rows are
-    the 5xfloat4 layout above.  Child DFS order: inner children first get
-    slots in index order (octant-slot assignment is a traversal-order
-    optimization the TPU path does not use; slots here are compact).
+    Returns ``(nodes (N, 20) float32, tri_order (F',))``: node rows in the
+    5xfloat4 layout above, plus the triangle permutation the format
+    requires — like the reference conversion, each node's leaf triangles
+    are re-emitted consecutively so the 5-bit meta offsets stay in range
+    (``tiny_bvh.h:5952-5968``).  Leaf counts must be ≤ 3 (unary meta bits);
+    the reference enforces this with ``SplitLeafs(3)``.
     """
     n = bounds.shape[0]
     nodes = np.zeros((n, 20), np.float32)
     iview = nodes.view(np.uint32)
+    tri_order: list[int] = []
 
     for i in range(n):
         row = bounds[i].reshape(6, WIDTH)
@@ -62,11 +65,10 @@ def build_cwbvh(bounds: np.ndarray, child: np.ndarray):
         nodes[i, 0:3] = lo
         imask = 0
         meta = np.zeros(8, np.uint8)
-        # Inner children numbered by slot; leaves reference tri ranges.
         inner_slots = [k for k in range(WIDTH) if kids[k] > 0]
         child_base = min((kids[k] - 1 for k in inner_slots), default=0)
-        leaf_offsets = [(-kids[k]) // LEAF_CNT_BITS for k in range(WIDTH) if kids[k] < 0]
-        tri_base = min(leaf_offsets, default=0)
+        tri_base = len(tri_order)
+        rel = 0
         for k in range(WIDTH):
             c = kids[k]
             if c > 0:
@@ -76,7 +78,12 @@ def build_cwbvh(bounds: np.ndarray, child: np.ndarray):
             elif c < 0:
                 off = (-c) // LEAF_CNT_BITS
                 cnt = (-c) % LEAF_CNT_BITS
-                meta[k] = (_unary(cnt) << 5) | (off - tri_base)
+                if cnt > 3:
+                    raise ValueError("CWBVH requires leaves of <=3 triangles "
+                                     "(build the MBVH with leaf_size=3)")
+                meta[k] = (_unary(cnt) << 5) | rel
+                tri_order.extend(range(off, off + cnt))
+                rel += cnt
         iview[i, 3] = (
             (np.uint32(e[0]) & 0xFF)
             | ((np.uint32(e[1]) & 0xFF) << 8)
@@ -98,7 +105,27 @@ def build_cwbvh(bounds: np.ndarray, child: np.ndarray):
             qhi[a] = np.clip(np.where(used, qh, 0), 0, 255).astype(np.uint8)
         packed = np.concatenate([qlo[0], qlo[1], qlo[2], qhi[0], qhi[1], qhi[2]])
         iview[i, 8:20] = np.frombuffer(packed.tobytes(), dtype=np.uint32)
-    return nodes
+    return nodes, np.asarray(tri_order, np.int32)
+
+
+def build_cwbvh_from_positions(positions: np.ndarray):
+    """Convenience: full reference-format pipeline from a triangle soup
+    (BVH2 leaf<=3 -> MBVH8 -> CWBVH + reordered [e2,e1,v0|triIdx] records,
+    mirroring ``BVH8_CWBVH::Build``)."""
+    from unity_webgpu_pathtracer_tpu.accel import bvh2, mbvh
+
+    tree = bvh2.build_bvh2(positions, leaf_size=3)
+    bounds, child, order = mbvh.collapse_to_mbvh8(tree)
+    nodes, local_order = build_cwbvh(bounds, child)
+    final_order = order[local_order]
+    pos = positions[final_order]
+    v0 = pos[:, 0]
+    recs = np.zeros((pos.shape[0], 12), np.float32)
+    recs[:, 0:3] = pos[:, 2] - v0
+    recs[:, 4:7] = pos[:, 1] - v0
+    recs[:, 8:11] = v0
+    recs[:, 11:12] = final_order[:, None].astype(np.int32).view(np.float32)
+    return nodes, recs, final_order
 
 
 def decode_child_bounds(nodes: np.ndarray):
