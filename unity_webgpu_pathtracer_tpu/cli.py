@@ -58,14 +58,15 @@ def cmd_render(args):
         cam["fov_y_deg"] = args.fov
 
     width = height = args.size
+    overrides = dict(overrides)
     overrides.setdefault("traversal", args.traversal)
+    overrides["has_lights"] = bool(scene.lights) or overrides.get("has_lights", False)
+    overrides["has_textures"] = bool(scene.textures) or overrides.get("has_textures", False)
     config = RenderConfig(
         width=width, height=height,
         samples_per_pass=min(args.spp, args.spp_per_pass),
         max_bounces=args.bounces,
         integrator=args.integrator,
-        has_lights=bool(scene.lights) or overrides.pop("has_lights", False),
-        has_textures=bool(scene.textures) or overrides.pop("has_textures", False),
         **overrides,
     )
     params = make_camera_params(width=width, height=height, **cam)

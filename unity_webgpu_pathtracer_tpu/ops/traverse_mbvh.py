@@ -121,14 +121,16 @@ def _step(scene, origins, directions, inv_dir, s: _TravState, any_hit: bool):
         & (tt > T_MIN) & (tt < s.t[:, None])
     )
     tt = jnp.where(valid, tt, FAR_PLANE)
-    k = jnp.argmin(tt, axis=-1)
-    t_best = tt[rows, k]
-    better = t_best < s.t
-    t_new = jnp.where(better, t_best, s.t)
-    u_new = jnp.where(better, uu[rows, k], s.u)
-    v_new = jnp.where(better, vv[rows, k], s.v)
-    slot_new = jnp.where(better, tri_idx[rows, k], s.slot)
-    found = s.found | (is_leaf & better)
+    # Select-chain reduction (per-row dynamic indexing lowers to slow
+    # gathers on TPU — see docs/PERFORMANCE.md).
+    t_new, u_new, v_new, slot_new = s.t, s.u, s.v, s.slot
+    for kk in range(MAX_LEAF):
+        better_k = tt[:, kk] < t_new
+        t_new = jnp.where(better_k, tt[:, kk], t_new)
+        u_new = jnp.where(better_k, uu[:, kk], u_new)
+        v_new = jnp.where(better_k, vv[:, kk], v_new)
+        slot_new = jnp.where(better_k, tri_idx[:, kk], slot_new)
+    found = s.found | (is_leaf & (t_new < s.t))
 
     sp = jnp.where(active & is_inner, sp_inner, sp_pop)
     sp = jnp.where(active, sp, s.sp)

@@ -79,8 +79,6 @@ def _node_step(nodes_flat, n_nodes, base, o, inv, s: _SkipState):
 
 def _leaf_step(scene, o, d, s: _SkipState):
     """Intersect parked rays' pending leaves (≤4 tris), then unpark."""
-    b = o.shape[0]
-    rows = jnp.arange(b)
     has_leaf = s.pending != 0
     off = s.pending // LEAF_CNT_BITS
     cnt = s.pending % LEAF_CNT_BITS
@@ -109,15 +107,21 @@ def _leaf_step(scene, o, d, s: _SkipState):
         & (tt > T_MIN) & (tt < s.t[:, None])
     )
     tt = jnp.where(valid, tt, FAR_PLANE)
-    k = jnp.argmin(tt, axis=-1)
-    t_best = tt[rows, k]
-    better = t_best < s.t
+    # Select-chain reduction (per-row dynamic indexing lowers to slow
+    # gathers on TPU — see docs/PERFORMANCE.md).
+    t_new, u_new, v_new, slot_new = s.t, s.u, s.v, s.slot
+    for k in range(MAX_LEAF):
+        better_k = tt[:, k] < t_new
+        t_new = jnp.where(better_k, tt[:, k], t_new)
+        u_new = jnp.where(better_k, uu[:, k], u_new)
+        v_new = jnp.where(better_k, vv[:, k], v_new)
+        slot_new = jnp.where(better_k, tri_idx[:, k], slot_new)
     return s._replace(
-        t=jnp.where(better, t_best, s.t),
-        u=jnp.where(better, uu[rows, k], s.u),
-        v=jnp.where(better, vv[rows, k], s.v),
-        slot=jnp.where(better, tri_idx[rows, k], s.slot),
-        found=s.found | better,
+        t=t_new,
+        u=u_new,
+        v=v_new,
+        slot=slot_new,
+        found=s.found | (t_new < s.t),
         pending=jnp.zeros_like(s.pending),
     )
 
