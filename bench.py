@@ -32,7 +32,7 @@ def main():
     from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
 
     small = os.environ.get("BENCH_SMALL") == "1"
-    pool = int(os.environ.get("BENCH_POOL", 1 << 19))
+    pool = int(os.environ.get("BENCH_POOL", 1 << 18))
     width, height = (512, 512) if small else (1920, 1080)
     target_tris = 64_000 if small else 1_000_000
     if small:
@@ -42,7 +42,7 @@ def main():
     t0 = time.time()
     scene, cam = million_triangle_scene(target_tris)
     config = RenderConfig(
-        width=width, height=height, samples_per_pass=1, max_bounces=5,
+        width=width, height=height, samples_per_pass=2, max_bounces=5,
         traversal="wide", sky_mode=SKY_MODE_ENVIRONMENT,
         has_environment_texture=True, use_russian_roulette=True,
         integrator="fused", pool_size=pool, bvh_octants=1,
@@ -64,7 +64,7 @@ def main():
     log(f"compile+first pass: {time.time()-t0:.1f}s")
 
     # Timed passes.
-    n_passes = 2 if small else 3
+    n_passes = 2
     t0 = time.time()
     total_rays = 0
     for i in range(n_passes):

@@ -30,6 +30,10 @@ def get_intersectors(config):
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide
 
         return traverse_wide.closest_hit, traverse_wide.occluded
+    if config.traversal == "wide2":
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide2
+
+        return traverse_wide2.closest_hit, traverse_wide2.occluded
     raise ValueError(f"unknown traversal backend {config.traversal!r}")
 
 

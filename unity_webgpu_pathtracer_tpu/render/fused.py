@@ -117,12 +117,20 @@ class FusedState(NamedTuple):
     ticks: jnp.ndarray         # ()
 
 
-def _set_trav(s: FusedState, mask, o, d, t_max):
-    """Point lanes' traversal at a fresh ray (world space, regs reset)."""
+def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
+    """Point lanes' traversal at a fresh ray (world space, regs reset).
+
+    ``entry`` is the root position code: 0 for the unified wide format
+    (row index space), ``scene.wide2_entry`` for the split format (signed
+    code space, where a ``pending`` register also needs clearing).
+    """
+    from unity_webgpu_pathtracer_tpu.ops.traverse_wide2 import Wide2State
+
     m3 = mask[:, None]
     tr = s.trav
+    root = 0 if entry is None else entry
     trav = tr._replace(
-        ptr=jnp.where(mask, 0, tr.ptr),
+        ptr=jnp.where(mask, root, tr.ptr),
         t=jnp.where(mask, t_max, tr.t),
         u=jnp.where(mask, 0.0, tr.u),
         v=jnp.where(mask, 0.0, tr.v),
@@ -131,6 +139,8 @@ def _set_trav(s: FusedState, mask, o, d, t_max):
         inst=jnp.where(mask, -1, tr.inst),
         hit_inst=jnp.where(mask, -1, tr.hit_inst),
     )
+    if isinstance(tr, Wide2State):
+        trav = trav._replace(pending=jnp.where(mask, 0, tr.pending))
     return s._replace(
         trav=trav,
         trav_o=jnp.where(m3, o, s.trav_o),
@@ -172,19 +182,19 @@ def _analytic_light_hit(scene, o, d, t):
 
 
 def _transition(scene, config: RenderConfig, params: RenderParams,
-                s: FusedState, budget: int, current_sample, n_nodes: int):
+                s: FusedState, budget: int, current_sample, trav_done,
+                entry=None):
     b = s.mode.shape[0]
     env_nee = config.sky_mode == SKY_MODE_ENVIRONMENT
     light_nee = config.has_lights and scene.lights.shape[0] > 0
 
-    trav_done = s.trav.ptr >= n_nodes
     shadow_done = trav_done | s.trav.found
     rng_state = s.rng
 
     # =====================================================================
     # Stage A: primary traversal finished -> shade / NEE setup / BSDF.
     # =====================================================================
-    a = (s.mode == MODE_PRIMARY) & trav_done & (s.lane_cap > 0)
+    a = (s.mode == MODE_PRIMARY) & trav_done
 
     hit_valid = s.trav.tri >= 0
     t_hit = s.trav.t
@@ -369,7 +379,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         )
         ok = (bpdf_u > 0) & (env_pdf > 0) & (mis_e > 0)
         pending = jnp.where(to_env[:, None], jnp.where(ok[:, None], contrib, 0.0), pending)
-        sn = _set_trav(sn, to_env, scatter_pos, env_dir, jnp.float32(FAR_PLANE))
+        sn = _set_trav(sn, to_env, scatter_pos, env_dir, jnp.float32(FAR_PLANE), entry)
         new_mode = jnp.where(to_env, MODE_SHADOW_ENV, new_mode)
 
     if light_nee:
@@ -379,7 +389,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         ok_l = (is_rect | is_spot | is_point) & (falloff > 0)
         pending = jnp.where(to_light[:, None],
                             jnp.where(ok_l[:, None], contrib_l, 0.0), pending)
-        sn = _set_trav(sn, to_light, scatter_pos, light_dir, ldist - EPSILON)
+        sn = _set_trav(sn, to_light, scatter_pos, light_dir, ldist - EPSILON, entry)
         new_mode = jnp.where(to_light, MODE_SHADOW_LIGHT, new_mode)
 
     # --- BSDF sample + Russian roulette -> next bounce or death ---
@@ -403,11 +413,17 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         continue_ray = continue_ray & ~rr_kill
 
     # --- stitch next state ---
+    # The lane cap bounds *processed stage-transitions* per path (its only
+    # job is stopping infinite alpha-passthrough loops, pathtrace.hlsl:84);
+    # lanes merely waiting in traversal must NOT consume budget — on large
+    # scenes a traversal segment spans many loop iterations.
+    processed = a | env_done | light_done
+    cap_exhausted = processed & (s.lane_cap <= 0)
     # Deaths this transition:
     died = (
         miss | light_hit | ended_budget
         | (to_bsdf & ~continue_ray)
-        | ((s.mode != MODE_DEAD) & (s.lane_cap <= 0))
+        | cap_exhausted
     )
     # Splat with firefly clamp.
     rad_out = radiance
@@ -421,13 +437,15 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     )
 
     # Continuing bounce: new primary ray (position comes from the unified
-    # hit frame for both passthrough and BSDF continuation).
+    # hit frame for both passthrough and BSDF continuation). A cap-exhausted
+    # lane must die even if it would otherwise pass through (that is the
+    # loop the cap exists to break).
     new_dir = jnp.where(passthrough[:, None], s.path_d, l_s)
-    bounce = continue_ray | passthrough
+    bounce = (continue_ray | passthrough) & ~died
     new_origin = pos_b + new_dir * EPSILON
     path_o = jnp.where(bounce[:, None], new_origin, s.path_o)
     path_d = jnp.where(bounce[:, None], new_dir, s.path_d)
-    sn = _set_trav(sn, bounce, path_o, path_d, jnp.float32(FAR_PLANE))
+    sn = _set_trav(sn, bounce, path_o, path_d, jnp.float32(FAR_PLANE), entry)
     new_mode = jnp.where(bounce, MODE_PRIMARY, jnp.where(died, MODE_DEAD, new_mode))
     depth = jnp.where(continue_ray, s.depth + 1, s.depth)
     prev_pdf = jnp.where(to_bsdf, pdf_s, s.prev_pdf)
@@ -454,7 +472,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     tk = take[:, None]
     path_o = jnp.where(tk, o_new, path_o)
     path_d = jnp.where(tk, d_new, path_d)
-    sn = _set_trav(sn, take, path_o, path_d, jnp.float32(FAR_PLANE))
+    sn = _set_trav(sn, take, path_o, path_d, jnp.float32(FAR_PLANE), entry)
     new_mode = jnp.where(take, MODE_PRIMARY, new_mode)
     queue_head = s.queue_head + jnp.minimum(jnp.sum(dead_now.astype(jnp.int32)), remaining)
 
@@ -483,8 +501,8 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         prev_pdf=jnp.where(take, 0.0, prev_pdf),
         lane_cap=jnp.where(
             take,
-            4 * (config.max_bounces + 1) + 16,
-            jnp.where(s.mode != MODE_DEAD, s.lane_cap - 1, s.lane_cap),
+            3 * (config.max_bounces + 2) + 32,
+            jnp.where(processed, s.lane_cap - 1, s.lane_cap),
         ),
         film=film,
         queue_head=queue_head,
@@ -498,17 +516,27 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
     npix = config.pixel_count()
     budget = npix * config.samples_per_pass
     b = pool_size or config.pool_size or min(budget, 1 << 19)
+    use_v2 = config.traversal == "wide2"
 
-    nodes = scene.wide_nodes
-    n_orders, n_nodes = nodes.shape[0], nodes.shape[1]
-    nodes_flat = nodes.reshape(n_orders * n_nodes, nodes.shape[2])
+    if use_v2:
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide2 as tw2
+
+        inner_flat, n_inner, n_orders, leaf_geo, n_leaf, skip_flat = tw2._tables(scene)
+        entry = scene.wide2_entry
+        trav0 = tw2.init_state2(b, jnp.float32(0.0), jnp.asarray(0, jnp.int32))
+    else:
+        nodes = scene.wide_nodes
+        n_orders, n_nodes = nodes.shape[0], nodes.shape[1]
+        nodes_flat = nodes.reshape(n_orders * n_nodes, nodes.shape[2])
+        entry = None
+        from unity_webgpu_pathtracer_tpu.ops.traverse_wide import init_state
+
+        trav0 = init_state(b, jnp.float32(0.0))._replace(
+            ptr=jnp.full((b,), n_nodes, jnp.int32))
 
     z3 = jnp.zeros((b, 3), jnp.float32)
     zi = jnp.zeros((b,), jnp.int32)
     zf = jnp.zeros((b,), jnp.float32)
-    from unity_webgpu_pathtracer_tpu.ops.traverse_wide import init_state
-
-    trav0 = init_state(b, jnp.float32(0.0))._replace(ptr=jnp.full((b,), n_nodes, jnp.int32))
     init = FusedState(
         mode=jnp.full((b,), MODE_DEAD, jnp.int32),
         trav=trav0,
@@ -535,21 +563,37 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
 
     def body(s: FusedState):
         inv = safe_rcp(s.trav_d)
-        base = (octant_index(s.trav_d) % n_orders) * n_nodes
+        oct_ = octant_index(s.trav_d) % n_orders
         shadowing = (s.mode == MODE_SHADOW_ENV) | (s.mode == MODE_SHADOW_LIGHT)
         trav = s.trav
-        for _ in range(TRANSITION_EVERY):
+        if use_v2:
+            base = oct_ * n_inner
+            skip_base = oct_ * n_leaf
+            for _ in range(TRANSITION_EVERY):
+                active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
+                trav = tw2.node_step2(inner_flat, n_inner, base, s.trav_o,
+                                      s.trav_d, inv, trav, active, inst_w2l)
             active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
-            trav = arrival_step(nodes_flat, n_nodes, base, s.trav_o, s.trav_d,
-                                inv, trav, active, inst_w2l)
-        stepping = (s.mode != MODE_DEAD) & (s.trav.ptr < n_nodes)
+            trav = tw2.leaf_step2(leaf_geo, skip_flat, n_leaf, skip_base,
+                                  s.trav_o, s.trav_d, trav, active, inst_w2l)
+            stepping = (s.mode != MODE_DEAD) & tw2.live2(s.trav)
+            trav_done = ~tw2.live2(trav)
+        else:
+            base = oct_ * n_nodes
+            for _ in range(TRANSITION_EVERY):
+                active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
+                trav = arrival_step(nodes_flat, n_nodes, base, s.trav_o, s.trav_d,
+                                    inv, trav, active, inst_w2l)
+            stepping = (s.mode != MODE_DEAD) & (s.trav.ptr < n_nodes)
+            trav_done = trav.ptr >= n_nodes
         s = s._replace(
             trav=trav,
             arrivals=s.arrivals + TRANSITION_EVERY * jnp.sum(stepping.astype(jnp.int32)),
             busy=s.busy + jnp.sum((s.mode != MODE_DEAD).astype(jnp.int32)),
             ticks=s.ticks + b,
         )
-        return _transition(scene, config, params, s, budget, current_sample, n_nodes)
+        return _transition(scene, config, params, s, budget, current_sample,
+                           trav_done, entry)
 
     final = jax.lax.while_loop(cond, body, init)
     occupancy = final.busy.astype(jnp.float32) / jnp.maximum(

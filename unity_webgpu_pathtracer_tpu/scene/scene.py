@@ -60,6 +60,13 @@ class SceneData(NamedTuple):
     # production format (ops.traverse_wide): one gather per arrival.
     wide_nodes: jnp.ndarray = _z(1, 1, 48)    # (O, N4, 48) float32
 
+    # Split-table variant (accel.wide2 / ops.traverse_wide2): hot internal
+    # rows + cold shared leaf rows + per-octant leaf continuations.
+    wide2_inner: jnp.ndarray = _z(1, 1, 32)   # (O, Ni, 32) float32
+    wide2_leaf: jnp.ndarray = _z(1, 48)       # (Nl, 48) float32
+    wide2_leaf_skip: jnp.ndarray = _z(1, 1, dtype=jnp.int32)  # (O, Nl)
+    wide2_entry: jnp.ndarray = jnp.asarray(1, jnp.int32)      # root code
+
     # TLAS (Aila-Laine 2-wide) + instances.
     tlas_nodes: jnp.ndarray = _z(0, 16)       # (NT, 16) float32
     tlas_index: jnp.ndarray = _z(0, dtype=jnp.int32)
@@ -134,9 +141,9 @@ class Scene:
         require ``traversal == "wide"``.
         """
         if self.instances:
-            if traversal != "wide":
-                raise ValueError("instanced scenes require traversal='wide'")
-            return self._build_instanced()
+            if traversal not in ("wide", "wide2"):
+                raise ValueError("instanced scenes require traversal='wide' or 'wide2'")
+            return self._build_instanced(traversal)
         flat = self.flatten()
         tris = flat.tri_records()
         m = flat.count
@@ -144,7 +151,16 @@ class Scene:
 
         skip = np.zeros((1, 1, 8), np.float32)
         wide = np.zeros((1, 1, 48), np.float32)
-        if traversal == "wide":
+        wide2 = None
+        if traversal == "wide2":
+            from unity_webgpu_pathtracer_tpu.accel import build_scene_wide_bvh
+            from unity_webgpu_pathtracer_tpu.accel.wide2 import split_wide
+
+            unified = build_scene_wide_bvh(flat.positions, tris, octants=octants)
+            wide2 = split_wide(np.asarray(unified))
+            bounds = np.zeros((1, 48), np.float32)
+            child = np.zeros((1, 8), np.int32)
+        elif traversal == "wide":
             from unity_webgpu_pathtracer_tpu.accel import build_scene_wide_bvh
 
             # Inline leaf storage: tris stay in original order (tri_index is
@@ -179,6 +195,18 @@ class Scene:
         )
         env = build_envmap(self.env_image) if self.env_image is not None else empty_envmap()
 
+        extra = {}
+        if wide2 is not None:
+            ni = max(wide2.inner.shape[1], 1)
+            inner = wide2.inner if wide2.inner.shape[1] else np.zeros(
+                (wide2.inner.shape[0], 1, 32), np.float32)
+            extra = dict(
+                wide2_inner=jnp.asarray(inner),
+                wide2_leaf=jnp.asarray(wide2.leaf_geo),
+                wide2_leaf_skip=jnp.asarray(wide2.leaf_skip),
+                wide2_entry=jnp.asarray(
+                    1 if wide2.inner.shape[1] else -1, jnp.int32),
+            )
         return SceneData(
             tris=jnp.asarray(tris),
             tri_index=jnp.asarray(tri_index),
@@ -194,15 +222,11 @@ class Scene:
             bvh_child=jnp.asarray(child),
             skip_nodes=jnp.asarray(skip),
             wide_nodes=jnp.asarray(wide),
-            tlas_nodes=jnp.zeros((0, 16), jnp.float32),
-            tlas_index=jnp.zeros((0,), jnp.int32),
-            inst_l2w=jnp.zeros((0, 12), jnp.float32),
-            inst_w2l=jnp.zeros((0, 12), jnp.float32),
-            inst_offsets=jnp.zeros((0, 4), jnp.int32),
+            **extra,
         )
 
     # ------------------------------------------------------------------
-    def _build_instanced(self) -> SceneData:
+    def _build_instanced(self, traversal: str = "wide") -> SceneData:
         """Two-level build: per-mesh wide BLASes + TLAS over instances
         (the analogue of ``BVHScene.cs:601-757``).  Attributes stay in mesh
         local space; instance transforms are applied at hit-shading time."""
@@ -251,6 +275,19 @@ class Scene:
         )
         env = build_envmap(self.env_image) if self.env_image is not None else empty_envmap()
 
+        extra = {}
+        if traversal == "wide2":
+            from unity_webgpu_pathtracer_tpu.accel.wide2 import split_wide
+
+            w2 = split_wide(np.asarray(tl.nodes))
+            inner = w2.inner if w2.inner.shape[1] else np.zeros(
+                (w2.inner.shape[0], 1, 32), np.float32)
+            extra = dict(
+                wide2_inner=jnp.asarray(inner),
+                wide2_leaf=jnp.asarray(w2.leaf_geo),
+                wide2_leaf_skip=jnp.asarray(w2.leaf_skip),
+                wide2_entry=jnp.asarray(1 if w2.inner.shape[1] else -1, jnp.int32),
+            )
         return SceneData(
             tris=jnp.asarray(tris),
             tri_index=jnp.arange(m, dtype=jnp.int32),
@@ -266,4 +303,5 @@ class Scene:
             inst_l2w=jnp.asarray(tl.inst_l2w),
             inst_w2l=jnp.asarray(tl.inst_w2l),
             inst_offsets=jnp.asarray(inst_offsets),
+            **extra,
         )
