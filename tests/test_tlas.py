@@ -79,6 +79,27 @@ def test_instanced_matches_flattened(integrator):
     assert rel.mean() < 0.05, rel.mean()
 
 
+def test_aila_laine_export():
+    """Reference-format TLAS export: DFS walk covers every instance once."""
+    from unity_webgpu_pathtracer_tpu.accel.tlas import export_aila_laine
+
+    bounds = [((-1, -1, -1), (1, 1, 1)), ((-2, 0, -2), (2, 1, 2))]
+    instances = [(i % 2, TRANSFORMS[i % 3], None) for i in range(7)]
+    nodes, index = export_aila_laine(instances, bounds)
+    assert nodes.shape[1] == 16 and sorted(index.tolist()) == list(range(7))
+    iv = nodes.view(np.int32)
+    seen = []
+    stack = [0]
+    while stack:
+        n = stack.pop()
+        cnt = iv[n, 11]
+        if cnt > 0:
+            seen.extend(index[iv[n, 15] : iv[n, 15] + cnt].tolist())
+        else:
+            stack.extend([iv[n, 3], iv[n, 7]])
+    assert sorted(seen) == list(range(7))
+
+
 def test_shared_mesh_instanced_once():
     """Two instances of one mesh share BLAS rows (dedup like BVHScene.cs:455-459)."""
     scene = _instanced_scene()

@@ -188,6 +188,57 @@ def build_tlas_wide(blas_tables: list[np.ndarray], blas_bounds: list[tuple],
     )
 
 
+def export_aila_laine(instances: list[tuple], blas_bounds: list[tuple]):
+    """Reference-format TLAS export (parity artifact).
+
+    Emits the 64-byte 2-wide Aila-Laine nodes + instance index array the
+    reference uploads (``BVH_GPU`` node layout ``{lmin,left, lmax,right,
+    rmin,instCount, rmax,firstInst}``, ``tiny_bvh.h:1094-1105``; consumed by
+    ``util/tlas.hlsl:249-331``).  The TPU traversal uses the flattened
+    fat-row structure instead; this exporter documents/checks the contract.
+
+    Returns ``(nodes (N, 16) float32 with ints bitcast, index (I,) int32)``.
+    """
+    n_inst = len(instances)
+    lo = np.zeros((n_inst, 3), np.float32)
+    hi = np.zeros((n_inst, 3), np.float32)
+    for i, (mesh_id, m, _mat) in enumerate(instances):
+        lo[i], hi[i] = transform_aabb(*blas_bounds[mesh_id], m)
+    centers = ((lo + hi) * 0.5).reshape(n_inst, 1, 3)
+    fake = np.concatenate([lo.reshape(n_inst, 1, 3), hi.reshape(n_inst, 1, 3),
+                           centers], axis=1)
+    tl = ubvh2.build_bvh2(fake, leaf_size=2)
+
+    # One 16-float node per BVH2 node. Inner nodes carry both children's
+    # boxes + indices (instanceCount lane = 0); leaves carry
+    # (instanceCount, firstInstance) and are dereferenced through the
+    # instance index array (tlas.hlsl:314-328).
+    nodes = np.zeros((tl.node_count, 16), np.float32)
+    iv = nodes.view(np.int32)
+    mapping = {}
+    stack = [0]
+    while stack:  # assign output indices in DFS order
+        nd = stack.pop()
+        mapping[nd] = len(mapping)
+        if tl.count[nd] == 0:
+            stack.append(tl.left[nd] + 1)
+            stack.append(tl.left[nd])
+    for nd, my in mapping.items():
+        if tl.count[nd] > 0:
+            iv[my, 11] = int(tl.count[nd])
+            iv[my, 15] = int(tl.start[nd])
+        else:
+            l = tl.left[nd]
+            nodes[my, 0:3] = tl.nmin[l]
+            nodes[my, 4:7] = tl.nmax[l]
+            nodes[my, 8:11] = tl.nmin[l + 1]
+            nodes[my, 12:15] = tl.nmax[l + 1]
+            iv[my, 3] = mapping[l]
+            iv[my, 7] = mapping[l + 1]
+            iv[my, 11] = 0
+    return nodes, tl.order.astype(np.int32)
+
+
 def refit_tlas(tlas: TlasScene, blas_tables, blas_bounds, instances) -> TlasScene:
     """Rebuild after transform changes (the reference rebuilds its TLAS every
     dirty frame, ``BVHScene.cs:823-838``); BLAS rows are reused unchanged."""

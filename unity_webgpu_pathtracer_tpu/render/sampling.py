@@ -12,7 +12,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from unity_webgpu_pathtracer_tpu.utils.math import INV_PI, PI, TWO_PI, cross, normalize
+from unity_webgpu_pathtracer_tpu.utils.math import (
+    INV_4_PI,
+    INV_PI,
+    PI,
+    TWO_PI,
+    cross,
+    normalize,
+)
 
 
 def gtr1(n_dot_h: jnp.ndarray, a) -> jnp.ndarray:
@@ -168,3 +175,32 @@ def sample_gaussian(u: jnp.ndarray, v: jnp.ndarray):
     r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1e-38, u)))
     theta = TWO_PI * v
     return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def sample_hg(v: jnp.ndarray, g, r1, r2) -> jnp.ndarray:
+    """Henyey-Greenstein phase sampling about ``v`` (sampling.hlsl:169-191).
+
+    Present for parity with the reference's (unused) volumetric plumbing
+    (``Medium`` struct, common.hlsl:97-104).
+    """
+    from unity_webgpu_pathtracer_tpu.utils.math import build_onb, to_world
+
+    g = jnp.asarray(g)
+    sqr_term = (1.0 - g * g) / jnp.maximum(1.0 + g - 2.0 * g * r2, 1e-6)
+    cos_aniso = -(1.0 + g * g - sqr_term * sqr_term) / jnp.where(
+        jnp.abs(g) < 1e-6, 1.0, 2.0 * g
+    )
+    cos_theta = jnp.where(jnp.abs(g) < 0.001, 1.0 - 2.0 * r2, cos_aniso)
+    phi = r1 * TWO_PI
+    sin_theta = jnp.clip(jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0)), 0.0, 1.0)
+    onb = build_onb(v)
+    local = jnp.stack(
+        [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1
+    )
+    return to_world(onb, local)
+
+
+def phase_hg(cos_theta: jnp.ndarray, g) -> jnp.ndarray:
+    """HG phase function value (sampling.hlsl:193-197)."""
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    return INV_4_PI * (1.0 - g * g) / (denom * jnp.sqrt(jnp.maximum(denom, 1e-12)))
