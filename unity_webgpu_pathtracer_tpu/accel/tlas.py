@@ -32,7 +32,6 @@ import dataclasses
 import numpy as np
 
 from unity_webgpu_pathtracer_tpu.accel import bvh2 as ubvh2
-from unity_webgpu_pathtracer_tpu.accel import build_scene_wide_bvh
 
 ROW = 48
 OFF_PTRS = 24       # internal: child ptrs; instance: blas_ptr/len/material

@@ -12,7 +12,6 @@ import numpy as np
 from unity_webgpu_pathtracer_tpu.models import primitives as prim
 from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
 from unity_webgpu_pathtracer_tpu.scene.material import MaterialDesc
-from unity_webgpu_pathtracer_tpu.scene.mesh import Mesh
 from unity_webgpu_pathtracer_tpu.scene.scene import Scene
 
 

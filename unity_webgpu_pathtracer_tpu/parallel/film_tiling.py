@@ -17,7 +17,6 @@ let XLA insert the transfers).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
