@@ -237,9 +237,10 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     sel_inst = jnp.where(a, s.trav.hit_inst, s.hit_inst)
 
     attr = jnp.maximum(sel_tri, 0)
-    normal = normalize(_interp(sel_bary, scene.attr_normals[attr], 3))
-    uv = _interp(sel_bary, scene.attr_uvs[attr], 2)
-    mat_idx = scene.attr_material[attr]
+    shade_row = scene.attr_shade[attr]          # one gather: normals+uvs+mat
+    normal = normalize(_interp(sel_bary, shade_row[:, 0:9], 3))
+    uv = _interp(sel_bary, shade_row[:, 9:15], 2)
+    mat_idx = jax.lax.bitcast_convert_type(shade_row[:, 15], jnp.int32)
     if has_tlas:
         from unity_webgpu_pathtracer_tpu.render.hitinfo import (
             instance_material_override,

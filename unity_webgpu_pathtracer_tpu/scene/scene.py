@@ -27,6 +27,15 @@ def _z(*shape, dtype=jnp.float32):
     return jnp.zeros(shape, dtype)
 
 
+def _pack_attr_shade(normals9: np.ndarray, uvs6: np.ndarray,
+                     material: np.ndarray) -> np.ndarray:
+    out = np.zeros((normals9.shape[0], 16), np.float32)
+    out[:, 0:9] = normals9
+    out[:, 9:15] = uvs6
+    out[:, 15] = material.astype(np.int32).view(np.float32)
+    return out
+
+
 class SceneData(NamedTuple):
     """Device-resident flat scene arrays (all shapes static).
 
@@ -47,6 +56,12 @@ class SceneData(NamedTuple):
     texture_data: jnp.ndarray    # (K,) uint32 atlas
     lights: jnp.ndarray          # (L, 16) float32
     env: EnvMap
+
+    # Packed per-triangle shading row [normals 9 | uvs 6 | material(int) 1]:
+    # the fused integrator's transitions fetch ONE row instead of three
+    # gathers from separate attribute tables (gather ops dominate, see
+    # docs/PERFORMANCE.md).
+    attr_shade: jnp.ndarray = _z(1, 16)       # (T, 16) float32
 
     # 8-wide MBVH (SoA): bounds laid out [lox·8, loy·8, loz·8, hix·8, hiy·8, hiz·8].
     bvh_bounds: jnp.ndarray = _z(1, 48)       # (N, 48) float32
@@ -214,6 +229,8 @@ class Scene:
             attr_tangents=jnp.asarray(flat.tangents.reshape(m, 9)),
             attr_uvs=jnp.asarray(flat.uvs.reshape(m, 6)),
             attr_material=jnp.asarray(flat.material),
+            attr_shade=jnp.asarray(_pack_attr_shade(
+                flat.normals.reshape(m, 9), flat.uvs.reshape(m, 6), flat.material)),
             materials=jnp.asarray(materials),
             texture_data=jnp.asarray(atlas),
             lights=jnp.asarray(light_table),
@@ -295,6 +312,9 @@ class Scene:
             attr_tangents=jnp.asarray(flat_all.tangents.reshape(m, 9)),
             attr_uvs=jnp.asarray(flat_all.uvs.reshape(m, 6)),
             attr_material=jnp.asarray(flat_all.material),
+            attr_shade=jnp.asarray(_pack_attr_shade(
+                flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
+                flat_all.material)),
             materials=jnp.asarray(materials),
             texture_data=jnp.asarray(atlas),
             lights=jnp.asarray(light_table),
