@@ -71,6 +71,7 @@ from unity_webgpu_pathtracer_tpu.utils.math import (
     cross,
     dot,
     dot1,
+    gather_small,
     length,
     luminance,
     normalize,
@@ -249,7 +250,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
 
         normal = instance_normal_to_world(scene, sel_inst, normal)
         mat_idx = instance_material_override(scene, sel_inst, mat_idx)
-    mdata = scene.materials[jnp.maximum(mat_idx, 0)]
+    mdata = gather_small(scene.materials, jnp.maximum(mat_idx, 0))
     mat = derive_material(mdata, uv, s.path_d, normal,
                           scene.texture_data, config.has_textures)
     max_roughness = jnp.where(shade, jnp.maximum(s.max_roughness, mat.roughness),
@@ -327,7 +328,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         lcount = scene.lights.shape[0]
         u_pick, rng_state = urng.random_float(rng_state)
         li_idx = jnp.clip((u_pick * lcount).astype(jnp.int32), 0, lcount - 1)
-        rec = scene.lights[li_idx]
+        rec = gather_small(scene.lights, li_idx)
         ltype = rec[:, 3].astype(jnp.int32)
         lpos, lu, lv = rec[:, 0:3], rec[:, 8:11], rec[:, 12:15]
         emission = rec[:, 4:7] * float(lcount)

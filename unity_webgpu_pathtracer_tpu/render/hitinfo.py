@@ -13,7 +13,15 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from unity_webgpu_pathtracer_tpu.utils.math import EPSILON, FAR_PLANE, cross, dot, dot1, normalize
+from unity_webgpu_pathtracer_tpu.utils.math import (
+    EPSILON,
+    FAR_PLANE,
+    cross,
+    dot,
+    dot1,
+    gather_small,
+    normalize,
+)
 
 INTERSECT_TRIANGLE = 0
 INTERSECT_LIGHT = 1
@@ -44,7 +52,7 @@ def _interp(bary: jnp.ndarray, attr: jnp.ndarray, width: int) -> jnp.ndarray:
 def instance_normal_to_world(scene, inst, normal):
     """Transform a local normal by the instance's inverse-transpose
     (``tlas.hlsl:223``: ``mul(float4(n,0), worldToLocal)``)."""
-    w2l = scene.inst_w2l[jnp.maximum(inst, 0)]
+    w2l = gather_small(scene.inst_w2l, jnp.maximum(inst, 0))
     n = jnp.stack(
         [
             w2l[:, 0] * normal[:, 0] + w2l[:, 4] * normal[:, 1] + w2l[:, 8] * normal[:, 2],
@@ -59,7 +67,7 @@ def instance_normal_to_world(scene, inst, normal):
 def instance_material_override(scene, inst, material):
     """Instance material wins over the per-triangle index
     (``tlas.hlsl:230``: materialIndex comes from the instance)."""
-    override = scene.inst_offsets[jnp.maximum(inst, 0), 3]
+    override = gather_small(scene.inst_offsets, jnp.maximum(inst, 0))[:, 3]
     use = (inst >= 0) & (override >= 0)
     return jnp.where(use, override, material)
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,13 +23,22 @@ from unity_webgpu_pathtracer_tpu.utils.math import INV_PI, INV_TWO_PI, PI, TWO_P
 
 
 class EnvMap(NamedTuple):
-    """Device-resident environment data (pytree)."""
+    """Device-resident environment data (pytree).
+
+    ``alias_row`` and ``quad_rows`` are gather-merged tables: on this TPU a
+    gather OP costs ~2 ms + B*marginal regardless of table size
+    (docs/PERFORMANCE.md round-2 campaign), so NEE env sampling bakes
+    everything one sample needs into a single row (1 gather instead of 6),
+    and sky eval bakes the 2x2 bilinear footprint per texel (1 instead
+    of 4)."""
 
     image: jnp.ndarray       # (H, W, 3) float32 linear radiance
     cdf: jnp.ndarray         # (H*W,) inclusive prefix sum of luminance
     cdf_sum: jnp.ndarray     # () total luminance
     alias_prob: jnp.ndarray  # (H*W,) alias-table acceptance probability
     alias_idx: jnp.ndarray   # (H*W,) int32 alias texel
+    alias_row: jnp.ndarray   # (H*W, 8) [prob, alias_idx(bits), self rgb, alias rgb]
+    quad_rows: jnp.ndarray   # (H*W, 12) 2x2 wrap footprint [p00|p10|p01|p11], or (1,12) if disabled
 
 
 def _build_alias(weights: np.ndarray):
@@ -55,26 +65,48 @@ def _build_alias(weights: np.ndarray):
     return prob.astype(np.float32), alias
 
 
+QUAD_ROWS_MAX_TEXELS = 2_000_000  # 4K-equirect quad tables get too big
+
+
 def build_envmap(image: np.ndarray) -> EnvMap:
     """Build the flat luminance CDF (``PathTracer.cs:299-307`` semantics)
-    plus the alias table used by the fused integrator."""
+    plus the gather-merged alias/quad tables used by the fused integrator."""
     img = np.asarray(image, np.float32)
+    h, w = img.shape[0], img.shape[1]
     lum = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
     flat = lum.reshape(-1)
     cdf = np.cumsum(flat, dtype=np.float64).astype(np.float32)
     prob, alias = _build_alias(flat)
+
+    texels = img.reshape(-1, 3)
+    alias_row = np.zeros((max(h * w, 1), 8), np.float32)
+    alias_row[: h * w, 0] = prob[: h * w]
+    alias_row[: h * w, 1] = alias[: h * w].view(np.float32)
+    alias_row[: h * w, 2:5] = texels
+    alias_row[: h * w, 5:8] = texels[alias[: h * w]]
+
+    if h * w <= QUAD_ROWS_MAX_TEXELS:
+        right = np.roll(img, -1, axis=1)
+        down = np.roll(img, -1, axis=0)       # wrap in v, matching _bilinear_wrap
+        downright = np.roll(right, -1, axis=0)
+        quad = np.concatenate([img, right, down, downright], axis=-1)
+        quad_rows = quad.reshape(-1, 12).astype(np.float32)
+    else:
+        quad_rows = np.zeros((1, 12), np.float32)
+
     return EnvMap(
         image=jnp.asarray(img),
         cdf=jnp.asarray(cdf),
         cdf_sum=jnp.asarray(cdf[-1] if cdf.size else 0.0, jnp.float32),
         alias_prob=jnp.asarray(prob),
         alias_idx=jnp.asarray(alias),
+        alias_row=jnp.asarray(alias_row),
+        quad_rows=jnp.asarray(quad_rows),
     )
 
 
-def _bilinear_wrap(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """GPU-style bilinear sample with wrap addressing, texel centers at .5."""
-    h, w = image.shape[0], image.shape[1]
+def _bilerp_coords(h, w, uv):
+    """Shared bilinear footprint: (x0i, y0i, fx, fy), wrap addressing."""
     u = uv[..., 0] - jnp.floor(uv[..., 0])
     v = uv[..., 1] - jnp.floor(uv[..., 1])
     x = u * w - 0.5
@@ -85,6 +117,13 @@ def _bilinear_wrap(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     fy = (y - y0)[..., None]
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
+    return x0i, y0i, fx, fy
+
+
+def _bilinear_wrap(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """GPU-style bilinear sample with wrap addressing, texel centers at .5."""
+    h, w = image.shape[0], image.shape[1]
+    x0i, y0i, fx, fy = _bilerp_coords(h, w, uv)
     x1i = jnp.mod(x0i + 1, w)
     y1i = jnp.mod(y0i + 1, h)
     p00 = image[y0i, x0i]
@@ -92,6 +131,25 @@ def _bilinear_wrap(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     p01 = image[y1i, x0i]
     p11 = image[y1i, x1i]
     return (p00 * (1 - fx) + p10 * fx) * (1 - fy) + (p01 * (1 - fx) + p11 * fx) * fy
+
+
+def _bilinear_quad(env: EnvMap, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear via the pre-baked 2x2 footprint rows: ONE gather instead of
+    four (same values as :func:`_bilinear_wrap`, gather-merged)."""
+    h, w = env.image.shape[0], env.image.shape[1]
+    x0i, y0i, fx, fy = _bilerp_coords(h, w, uv)
+    row = env.quad_rows[y0i * w + x0i]                          # (B, 12)
+    p00, p10 = row[..., 0:3], row[..., 3:6]
+    p01, p11 = row[..., 6:9], row[..., 9:12]
+    return (p00 * (1 - fx) + p10 * fx) * (1 - fy) + (p01 * (1 - fx) + p11 * fx) * fy
+
+
+def env_bilinear(env: EnvMap, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear env fetch; uses the quad-row table when built."""
+    h, w = env.image.shape[0], env.image.shape[1]
+    if env.quad_rows.shape[0] == h * w:
+        return _bilinear_quad(env, uv)
+    return _bilinear_wrap(env.image, uv)
 
 
 def eval_env_map(env: EnvMap, directions: jnp.ndarray, intensity, rotation):
@@ -106,7 +164,7 @@ def eval_env_map(env: EnvMap, directions: jnp.ndarray, intensity, rotation):
     uv = jnp.stack(
         [(PI + phi_atan) * INV_TWO_PI + rotation, 1.0 - theta * INV_PI], axis=-1
     )
-    color = _bilinear_wrap(env.image, uv)
+    color = env_bilinear(env, uv)
     sin_theta = jnp.sin(theta)
     pdf = (
         luminance(color)
@@ -166,7 +224,11 @@ def _texel_direction_pdf(env: EnvMap, idx, rotation):
 def sample_env_map_alias(env: EnvMap, rotation, state):
     """O(1) alias-method env sample; same distribution as the CDF sampler.
 
-    Returns ``(direction, color, pdf, new_state)``.
+    ONE row gather per sample: ``alias_row`` carries the acceptance
+    probability, the alias index, and both candidate texel colors (the
+    reference's bilinear lookup at a texel center degenerates to the texel
+    itself, so baking the color is exact). Returns
+    ``(direction, color, pdf, new_state)``.
     """
     from unity_webgpu_pathtracer_tpu.utils import rng as urng
 
@@ -174,10 +236,12 @@ def sample_env_map_alias(env: EnvMap, rotation, state):
     k = h * w
     (u1, u2), state = urng.random_floats(state, 2)
     bin_ = jnp.clip((u1 * k).astype(jnp.int32), 0, k - 1)
-    take_alias = u2 >= env.alias_prob[bin_]
-    idx = jnp.where(take_alias, env.alias_idx[bin_], bin_)
+    row = env.alias_row[bin_]                                   # (B, 8)
+    take_alias = u2 >= row[..., 0]
+    alias_idx = jax.lax.bitcast_convert_type(row[..., 1], jnp.int32)
+    idx = jnp.where(take_alias, alias_idx, bin_)
+    color = jnp.where(take_alias[..., None], row[..., 5:8], row[..., 2:5])
     uv, direction, sin_theta = _texel_direction_pdf(env, idx, rotation)
-    color = _bilinear_wrap(env.image, uv)
     pdf = luminance(color) / jnp.maximum(env.cdf_sum, 1e-20)
     pdf = pdf * (w * h) / jnp.maximum(TWO_PI * PI * sin_theta, 1e-8)
     pdf = jnp.where(sin_theta <= 0.0, 0.0, pdf)
@@ -192,4 +256,6 @@ def empty_envmap() -> EnvMap:
         cdf_sum=jnp.asarray(1.0, jnp.float32),
         alias_prob=jnp.ones((1,), jnp.float32),
         alias_idx=jnp.zeros((1,), jnp.int32),
+        alias_row=jnp.zeros((1, 8), jnp.float32).at[0, 0].set(1.0),
+        quad_rows=jnp.zeros((1, 12), jnp.float32),
     )

@@ -159,3 +159,33 @@ def concentric_sample_disk(u1: jnp.ndarray, u2: jnp.ndarray):
 def face_forward(normal: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     """Pick the normal hemisphere facing against ``direction`` (bvh.hlsl:208)."""
     return jnp.where(dot1(normal, direction) <= 0.0, normal, -normal)
+
+
+def gather_small(table: jnp.ndarray, idx: jnp.ndarray,
+                 max_onehot: int = 64) -> jnp.ndarray:
+    """Row gather that routes small tables through a one-hot matmul.
+
+    On this TPU an XLA gather op costs ~2 ms + B*marginal even when the
+    table is tiny (docs/PERFORMANCE.md round-2 campaign); a one-hot
+    (B, M) @ (M, W) matmul on the MXU is ~free for M <= 64 and bit-exact
+    at HIGHEST precision (bf16x3 reproduces the f32 mantissa; the one-hot
+    side is exact 0/1).
+    """
+    import jax
+
+    m = table.shape[0]
+    if m > max_onehot:
+        return table[idx]
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        # Small ints survive the f32 round trip exactly (< 2^24).
+        f = gather_small(table.astype(jnp.float32), idx, max_onehot)
+        return jnp.round(f).astype(table.dtype)
+    onehot = (idx[..., None] == jnp.arange(m, dtype=idx.dtype)).astype(
+        table.dtype
+    )
+    return jax.lax.dot_general(
+        onehot, table,
+        dimension_numbers=(((onehot.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=table.dtype,
+    )
