@@ -33,6 +33,8 @@ def main():
 
     small = os.environ.get("BENCH_SMALL") == "1"
     pool = int(os.environ.get("BENCH_POOL", 1 << 18))
+    trav = os.environ.get("BENCH_TRAV", "wide8")
+    te = int(os.environ.get("BENCH_TE", 4))
     width, height = (512, 512) if small else (1920, 1080)
     target_tris = 64_000 if small else 1_000_000
     if small:
@@ -43,13 +45,17 @@ def main():
     scene, cam = million_triangle_scene(target_tris)
     config = RenderConfig(
         width=width, height=height, samples_per_pass=2, max_bounces=5,
-        traversal="wide", sky_mode=SKY_MODE_ENVIRONMENT,
+        traversal=trav, sky_mode=SKY_MODE_ENVIRONMENT,
         has_environment_texture=True, use_russian_roulette=True,
-        integrator="fused", pool_size=pool, bvh_octants=1,
+        integrator="fused", pool_size=pool, bvh_octants=1, transition_every=te,
     )
     scene_data = scene.build(config.traversal, octants=config.bvh_octants)
     ntris = int(scene_data.tris.shape[0])
-    log(f"scene: {ntris:,} tris, {int(scene_data.wide_nodes.shape[1]):,} wide rows, "
+    rows = (int(scene_data.wide8_nodes.shape[0]) if trav == "wide8"
+            else int(scene_data.wide_nodes.shape[1]))
+    mb = (scene_data.wide8_nodes.nbytes if trav == "wide8"
+          else scene_data.wide_nodes.nbytes) / 1e6
+    log(f"scene: {ntris:,} tris, {rows:,} {trav} rows ({mb:.0f} MB), "
         f"build {time.time()-t0:.1f}s")
 
     params = make_camera_params(width=width, height=height, **cam,

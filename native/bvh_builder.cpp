@@ -502,3 +502,217 @@ extern "C" int build_mbvh8(const float* positions, int tri_count, int leaf_size,
   std::memcpy(out_order, bld.order.data(), bld.order.size() * sizeof(int32_t));
   return n;
 }
+
+// ---------------------------------------------------------------------------
+// wide8: 8-wide quantized stack format (accel/wide8.py layout).
+// Row (48 floats): [0:3]=anchor, [3]=meta (0 inner / 1..8 leaf count),
+// inner: [4]=packed biased exponents, [8:20]=q8 child boxes comp-major,
+// [20:28]=child ptrs (-1 empty); leaf: [4:40]=9x8 f16 tri comps (v0 anchor-
+// relative), [40:48]=attr idx. Matches the numpy builder's semantics.
+// ---------------------------------------------------------------------------
+namespace {
+
+static inline uint16_t f2h(float f) {
+  // Round-to-nearest-even float32 -> float16 (matches numpy astype).
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000u;
+  int32_t exp = (int32_t)((x >> 23) & 0xFF) - 127 + 15;
+  uint32_t man = x & 0x7FFFFFu;
+  if (((x >> 23) & 0xFF) == 0xFF) return (uint16_t)(sign | 0x7C00u | (man ? 0x200u : 0));
+  if (exp >= 0x1F) return (uint16_t)(sign | 0x7C00u);  // overflow -> inf
+  if (exp <= 0) {
+    if (exp < -10) return (uint16_t)sign;              // underflow -> 0
+    man |= 0x800000u;
+    int shift = 14 - exp;
+    uint32_t half = man >> shift;
+    uint32_t rem = man & ((1u << shift) - 1);
+    uint32_t mid = 1u << (shift - 1);
+    if (rem > mid || (rem == mid && (half & 1))) half++;
+    return (uint16_t)(sign | half);
+  }
+  uint32_t half = (uint32_t)(exp << 10) | (man >> 13);
+  uint32_t rem = man & 0x1FFFu;
+  if (rem > 0x1000u || (rem == 0x1000u && (half & 1))) half++;
+  return (uint16_t)(sign | half);
+}
+
+struct Wide8Emitter {
+  const Builder& b;
+  const float* recs;   // (F,9) [e2,e1,v0] in ORIGINAL triangle order
+  std::vector<int> sstart, scount;   // subtree ranges
+  std::vector<float> rows;
+  int max_depth = 0;
+
+  void ranges() {
+    int n = (int)b.nodes.size();
+    sstart.resize(n);
+    scount.resize(n);
+    for (int i = n - 1; i >= 0; --i) {
+      const Node2& nd = b.nodes[i];
+      if (nd.count > 0) { sstart[i] = nd.start; scount[i] = nd.count; }
+      else {
+        int l = nd.left;
+        sstart[i] = std::min(sstart[l], sstart[l + 1]);
+        scount[i] = scount[l] + scount[l + 1];
+      }
+    }
+  }
+
+  float* new_row() {
+    rows.resize(rows.size() + 48, 0.f);
+    return rows.data() + rows.size() - 48;
+  }
+
+  int emit_leaf(int node) {
+    int my = (int)(rows.size() / 48);
+    float* row = new_row();
+    const int lo = sstart[node], cnt = scount[node];
+    const Node2& nd = b.nodes[node];
+    row[0] = nd.lo.x; row[1] = nd.lo.y; row[2] = nd.lo.z;
+    int32_t meta = cnt;
+    std::memcpy(row + 3, &meta, 4);
+    // 9 comps x 8 lanes f16, v0 (comps 6..8) anchor-relative.
+    uint16_t halves[9][8] = {};
+    int32_t idx[8];
+    for (int k = 0; k < 8; ++k) idx[k] = -1;
+    for (int j = 0; j < cnt; ++j) {
+      int t = b.order[lo + j];
+      const float* r = recs + (size_t)t * 9;
+      for (int c = 0; c < 9; ++c) {
+        float v = r[c];
+        if (c >= 6) v -= row[c - 6];
+        halves[c][j] = f2h(v);
+      }
+      idx[j] = t;
+    }
+    std::memcpy(row + 4, halves, 9 * 8 * 2);
+    std::memcpy(row + 40, idx, 8 * 4);
+    return my;
+  }
+
+  int emit(int node, int depth) {
+    max_depth = std::max(max_depth, depth);
+    if (scount[node] <= 8) return emit_leaf(node);
+    int my = (int)(rows.size() / 48);
+    new_row();
+
+    // Greedy SA collapse to <= 8 children; subtrees with <= 8 tris stay whole.
+    int kids[8];
+    int nk = 0;
+    const Node2& nd = b.nodes[node];
+    kids[nk++] = nd.left;
+    kids[nk++] = nd.left + 1;
+    while (nk < 8) {
+      int grow = -1;
+      float best = -1.f;
+      for (int i = 0; i < nk; ++i) {
+        int k = kids[i];
+        if (b.nodes[k].count == 0 && scount[k] > 8) {
+          float a = area(b.nodes[k].lo, b.nodes[k].hi);
+          if (a > best) { best = a; grow = i; }
+        }
+      }
+      if (grow < 0) break;
+      int k = kids[grow];
+      kids[grow] = b.nodes[k].left;
+      kids[nk++] = b.nodes[k].left + 1;
+    }
+
+    // Octant slot assignment (largest child picks first; nearest free slot
+    // by XOR distance ordered by popcount then value).
+    int slots[8];
+    for (int s = 0; s < 8; ++s) slots[s] = -1;
+    int order_by_sa[8];
+    for (int i = 0; i < nk; ++i) order_by_sa[i] = kids[i];
+    std::sort(order_by_sa, order_by_sa + nk, [&](int a, int c) {
+      return area(b.nodes[a].lo, b.nodes[a].hi) > area(b.nodes[c].lo, b.nodes[c].hi);
+    });
+    static const int xor_order[8] = {0, 1, 2, 4, 3, 5, 6, 7};
+    float pcx = (nd.lo.x + nd.hi.x) * 0.5f;
+    float pcy = (nd.lo.y + nd.hi.y) * 0.5f;
+    float pcz = (nd.lo.z + nd.hi.z) * 0.5f;
+    for (int i = 0; i < nk; ++i) {
+      int c = order_by_sa[i];
+      const Node2& cn = b.nodes[c];
+      int code = ((cn.lo.x + cn.hi.x) * 0.5f > pcx ? 1 : 0)
+               | ((cn.lo.y + cn.hi.y) * 0.5f > pcy ? 2 : 0)
+               | ((cn.lo.z + cn.hi.z) * 0.5f > pcz ? 4 : 0);
+      for (int d = 0; d < 8; ++d) {
+        int s = code ^ xor_order[d];
+        if (slots[s] < 0) { slots[s] = c; break; }
+      }
+    }
+
+    // Quantize: anchor = node lo, conservative power-of-two scales.
+    float anchor[3] = {nd.lo.x, nd.lo.y, nd.lo.z};
+    float ext[3] = {std::max(nd.hi.x - nd.lo.x, 0.f),
+                    std::max(nd.hi.y - nd.lo.y, 0.f),
+                    std::max(nd.hi.z - nd.lo.z, 0.f)};
+    int e[3];
+    float scale[3];
+    for (int c = 0; c < 3; ++c) {
+      float v = std::max(ext[c] / 255.0f, 1e-30f);
+      e[c] = (int)std::ceil(std::log2((double)v));
+      e[c] = std::min(std::max(e[c], -126), 127);
+      scale[c] = std::ldexp(1.0f, e[c]);
+      if (255.0f * scale[c] < ext[c]) {
+        e[c] = std::min(e[c] + 1, 127);
+        scale[c] = std::ldexp(1.0f, e[c]);
+      }
+    }
+    uint8_t qlo[3][8], qhi[3][8];
+    for (int c = 0; c < 3; ++c)
+      for (int s = 0; s < 8; ++s) { qlo[c][s] = 255; qhi[c][s] = 0; }
+    for (int s = 0; s < 8; ++s) {
+      if (slots[s] < 0) continue;
+      const Node2& cn = b.nodes[slots[s]];
+      float clo[3] = {cn.lo.x, cn.lo.y, cn.lo.z};
+      float chi[3] = {cn.hi.x, cn.hi.y, cn.hi.z};
+      for (int c = 0; c < 3; ++c) {
+        float ql = std::floor((clo[c] - anchor[c]) / scale[c]);
+        float qh = std::ceil((chi[c] - anchor[c]) / scale[c]);
+        qlo[c][s] = (uint8_t)std::min(std::max(ql, 0.f), 255.f);
+        qhi[c][s] = (uint8_t)std::min(std::max(qh, 0.f), 255.f);
+      }
+    }
+
+    // Children first gives ptrs; then write the row (rows may reallocate).
+    int32_t ptrs[8];
+    for (int s = 0; s < 8; ++s)
+      ptrs[s] = slots[s] < 0 ? -1 : emit(slots[s], depth + 1);
+
+    float* row = rows.data() + (size_t)my * 48;
+    row[0] = anchor[0]; row[1] = anchor[1]; row[2] = anchor[2];
+    int32_t meta = 0;
+    std::memcpy(row + 3, &meta, 4);
+    int32_t eword = (e[0] + 127) | ((e[1] + 127) << 8) | ((e[2] + 127) << 16);
+    std::memcpy(row + 4, &eword, 4);
+    uint8_t qbytes[48];
+    for (int c = 0; c < 3; ++c) {
+      std::memcpy(qbytes + c * 8, qlo[c], 8);
+      std::memcpy(qbytes + 24 + c * 8, qhi[c], 8);
+    }
+    std::memcpy(row + 8, qbytes, 48);
+    std::memcpy(row + 20, ptrs, 8 * 4);
+    return my;
+  }
+};
+
+}  // namespace
+
+extern "C" int build_wide8(const float* positions, const float* tri_records,
+                           int tri_count, int leaf_size, float* out_rows,
+                           int row_capacity, int32_t* out_depth) {
+  if (tri_count <= 0 || leaf_size <= 0 || leaf_size > 8) return -1;
+  Builder bld{positions, tri_count, leaf_size};
+  bld.build();
+  Wide8Emitter em{bld, tri_records};
+  em.ranges();
+  em.emit(0, 1);
+  int n = (int)(em.rows.size() / 48);
+  if (n > row_capacity) return -1;
+  std::memcpy(out_rows, em.rows.data(), em.rows.size() * sizeof(float));
+  if (out_depth) *out_depth = em.max_depth;
+  return n;
+}

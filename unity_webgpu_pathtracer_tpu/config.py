@@ -89,6 +89,11 @@ class RenderConfig:
     # Wavefront pool size (rays resident per step); 0 = auto (width*height).
     pool_size: int = 0
 
+    # Fused integrator: arrivals per transition step (occupancy/cost knob —
+    # each transition costs ~3 gather ops, each arrival 1; lanes that finish
+    # a traversal segment idle until the next transition).
+    transition_every: int = 4
+
     dtype: Any = jnp.float32
 
     def pixel_count(self) -> int:

@@ -1,4 +1,4 @@
-"""Compute-path ops: intersection, BVH traversal, Pallas kernels.
+"""Compute-path ops: intersection and BVH traversal backends.
 
 ``get_intersectors(config)`` dispatches on ``RenderConfig.traversal`` and
 returns ``(closest_hit_fn, any_hit_fn)`` with the uniform signatures::
@@ -34,6 +34,10 @@ def get_intersectors(config):
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide2
 
         return traverse_wide2.closest_hit, traverse_wide2.occluded
+    if config.traversal == "wide8":
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide8
+
+        return traverse_wide8.closest_hit, traverse_wide8.occluded
     raise ValueError(f"unknown traversal backend {config.traversal!r}")
 
 

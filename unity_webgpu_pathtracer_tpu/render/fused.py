@@ -83,7 +83,7 @@ MODE_SHADOW_ENV = 1
 MODE_SHADOW_LIGHT = 2
 MODE_DEAD = 3
 
-TRANSITION_EVERY = 4
+TRANSITION_EVERY = 4  # default; RenderConfig.transition_every overrides
 
 
 class FusedState(NamedTuple):
@@ -126,6 +126,7 @@ def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
     code space, where a ``pending`` register also needs clearing).
     """
     from unity_webgpu_pathtracer_tpu.ops.traverse_wide2 import Wide2State
+    from unity_webgpu_pathtracer_tpu.ops.traverse_wide8 import Wide8State
 
     m3 = mask[:, None]
     tr = s.trav
@@ -142,6 +143,11 @@ def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
     )
     if isinstance(tr, Wide2State):
         trav = trav._replace(pending=jnp.where(mask, 0, tr.pending))
+    if isinstance(tr, Wide8State):
+        trav = trav._replace(
+            pend=jnp.where(mask, 0xFF, tr.pend),
+            sp=jnp.where(mask, 0, tr.sp),
+        )
     return s._replace(
         trav=trav,
         trav_o=jnp.where(m3, o, s.trav_o),
@@ -519,8 +525,15 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
     budget = npix * config.samples_per_pass
     b = pool_size or config.pool_size or min(budget, 1 << 19)
     use_v2 = config.traversal == "wide2"
+    use_v8 = config.traversal == "wide8"
 
-    if use_v2:
+    if use_v8:
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide8 as tw8
+
+        nodes8 = scene.wide8_nodes
+        entry = None
+        trav0 = tw8.init_state8(b, jnp.float32(0.0), ptr0=tw8.DONE)
+    elif use_v2:
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide2 as tw2
 
         inner_flat, n_inner, n_orders, leaf_geo, n_leaf, skip_flat = tw2._tables(scene)
@@ -563,15 +576,24 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
 
     inst_w2l = scene.inst_w2l if scene.inst_w2l.shape[0] > 0 else None
 
+    te = getattr(config, "transition_every", TRANSITION_EVERY) or TRANSITION_EVERY
+
     def body(s: FusedState):
         inv = safe_rcp(s.trav_d)
-        oct_ = octant_index(s.trav_d) % n_orders
         shadowing = (s.mode == MODE_SHADOW_ENV) | (s.mode == MODE_SHADOW_LIGHT)
         trav = s.trav
-        if use_v2:
+        if use_v8:
+            for _ in range(te):
+                active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
+                trav = tw8.arrival_step8(nodes8, s.trav_o, s.trav_d, inv,
+                                         trav, active)
+            stepping = (s.mode != MODE_DEAD) & (s.trav.ptr >= 0)
+            trav_done = trav.ptr < 0
+        elif use_v2:
+            oct_ = octant_index(s.trav_d) % n_orders
             base = oct_ * n_inner
             skip_base = oct_ * n_leaf
-            for _ in range(TRANSITION_EVERY):
+            for _ in range(te):
                 active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
                 trav = tw2.node_step2(inner_flat, n_inner, base, s.trav_o,
                                       s.trav_d, inv, trav, active, inst_w2l)
@@ -581,8 +603,9 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             stepping = (s.mode != MODE_DEAD) & tw2.live2(s.trav)
             trav_done = ~tw2.live2(trav)
         else:
+            oct_ = octant_index(s.trav_d) % n_orders
             base = oct_ * n_nodes
-            for _ in range(TRANSITION_EVERY):
+            for _ in range(te):
                 active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
                 trav = arrival_step(nodes_flat, n_nodes, base, s.trav_o, s.trav_d,
                                     inv, trav, active, inst_w2l)
@@ -590,7 +613,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             trav_done = trav.ptr >= n_nodes
         s = s._replace(
             trav=trav,
-            arrivals=s.arrivals + TRANSITION_EVERY * jnp.sum(stepping.astype(jnp.int32)),
+            arrivals=s.arrivals + te * jnp.sum(stepping.astype(jnp.int32)),
             busy=s.busy + jnp.sum((s.mode != MODE_DEAD).astype(jnp.int32)),
             ticks=s.ticks + b,
         )

@@ -71,9 +71,14 @@ class SceneData(NamedTuple):
     # octant (ops.traverse_skip).
     skip_nodes: jnp.ndarray = _z(1, 1, 8)     # (O, N2, 8) float32
 
-    # Fat-row 4-ary BVH with inline leaf triangles (accel.wide) — the TPU
-    # production format (ops.traverse_wide): one gather per arrival.
+    # Fat-row 4-ary BVH with inline leaf triangles (accel.wide), one gather
+    # per arrival (ops.traverse_wide).
     wide_nodes: jnp.ndarray = _z(1, 1, 48)    # (O, N4, 48) float32
+
+    # 8-wide quantized stack format (accel.wide8 / ops.traverse_wide8) —
+    # the round-2 production format: ~2.4x smaller table and far fewer
+    # arrivals per ray than the skip-chain formats.
+    wide8_nodes: jnp.ndarray = _z(1, 48)      # (N8, 48) float32
 
     # Split-table variant (accel.wide2 / ops.traverse_wide2): hot internal
     # rows + cold shared leaf rows + per-octant leaf continuations.
@@ -156,8 +161,9 @@ class Scene:
         require ``traversal == "wide"``.
         """
         if self.instances:
-            if traversal not in ("wide", "wide2"):
-                raise ValueError("instanced scenes require traversal='wide' or 'wide2'")
+            if traversal not in ("wide", "wide2", "wide8"):
+                raise ValueError(
+                    "instanced scenes require traversal='wide', 'wide2' or 'wide8'")
             return self._build_instanced(traversal)
         flat = self.flatten()
         tris = flat.tri_records()
@@ -166,8 +172,15 @@ class Scene:
 
         skip = np.zeros((1, 1, 8), np.float32)
         wide = np.zeros((1, 1, 48), np.float32)
+        wide8 = np.zeros((1, 48), np.float32)
         wide2 = None
-        if traversal == "wide2":
+        if traversal == "wide8":
+            from unity_webgpu_pathtracer_tpu.accel.wide8 import build_scene_wide8
+
+            wide8 = build_scene_wide8(flat.positions, tris).nodes
+            bounds = np.zeros((1, 48), np.float32)
+            child = np.zeros((1, 8), np.int32)
+        elif traversal == "wide2":
             from unity_webgpu_pathtracer_tpu.accel import build_scene_wide_bvh
             from unity_webgpu_pathtracer_tpu.accel.wide2 import split_wide
 
@@ -239,7 +252,67 @@ class Scene:
             bvh_child=jnp.asarray(child),
             skip_nodes=jnp.asarray(skip),
             wide_nodes=jnp.asarray(wide),
+            wide8_nodes=jnp.asarray(wide8),
             **extra,
+        )
+
+    # ------------------------------------------------------------------
+    def _build_instanced_wide8(self) -> SceneData:
+        """Two-level wide8 build: cached per-mesh quantized BLASes + 8-wide
+        TLAS over instances, one unified device table."""
+        from unity_webgpu_pathtracer_tpu.accel.wide8 import build_scene_wide8, build_tlas_wide8
+        from unity_webgpu_pathtracer_tpu.scene import lights as ulights_mod
+
+        if getattr(self, "_blas8_cache", None) is None:
+            blas, blas_bounds, parts, attr_bases = [], [], [], []
+            attr_base = 0
+            for mesh, _transform in self.meshes:
+                flat = flatten_mesh(mesh, None)
+                recs = flat.tri_records()
+                blas.append(build_scene_wide8(flat.positions, recs))
+                p = flat.positions.reshape(-1, 3)
+                blas_bounds.append((p.min(0), p.max(0)))
+                parts.append(flat)
+                attr_bases.append(attr_base)
+                attr_base += flat.count
+            self._blas8_cache = (blas, blas_bounds, parts, attr_bases)
+        blas, blas_bounds, parts, attr_bases = self._blas8_cache
+
+        flat_all = concat_flat(parts)
+        m = flat_all.count
+        instances = list(self.instances)
+        w8, inst_l2w, inst_w2l = build_tlas_wide8(
+            blas, blas_bounds, instances, attr_bases)
+        inst_offsets = np.zeros((len(instances), 4), np.int32)
+        inst_offsets[:, 3] = [
+            -1 if mat is None else mat for (_mid, _t, mat) in instances
+        ]
+
+        materials = umaterial.pack_materials(self.materials or [umaterial.MaterialDesc()])
+        atlas = utexture.build_atlas(self.textures)
+        light_table = (
+            ulights_mod.pack_lights(self.lights) if self.lights else np.zeros((0, 16), np.float32)
+        )
+        env = build_envmap(self.env_image) if self.env_image is not None else empty_envmap()
+
+        return SceneData(
+            tris=jnp.asarray(flat_all.tri_records()),
+            tri_index=jnp.arange(m, dtype=jnp.int32),
+            attr_normals=jnp.asarray(flat_all.normals.reshape(m, 9)),
+            attr_tangents=jnp.asarray(flat_all.tangents.reshape(m, 9)),
+            attr_uvs=jnp.asarray(flat_all.uvs.reshape(m, 6)),
+            attr_material=jnp.asarray(flat_all.material),
+            attr_shade=jnp.asarray(_pack_attr_shade(
+                flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
+                flat_all.material)),
+            materials=jnp.asarray(materials),
+            texture_data=jnp.asarray(atlas),
+            lights=jnp.asarray(light_table),
+            env=env,
+            wide8_nodes=jnp.asarray(w8.nodes),
+            inst_l2w=jnp.asarray(inst_l2w),
+            inst_w2l=jnp.asarray(inst_w2l),
+            inst_offsets=jnp.asarray(inst_offsets),
         )
 
     # ------------------------------------------------------------------
@@ -251,6 +324,8 @@ class Scene:
         from unity_webgpu_pathtracer_tpu.accel.tlas import build_tlas_wide
         from unity_webgpu_pathtracer_tpu.scene import lights as ulights_mod
 
+        if traversal == "wide8":
+            return self._build_instanced_wide8()
         # BLAS tables are cached on the Scene so transform-only updates
         # (the reference's per-frame TLAS rebuild path, BVHScene.cs:769-841)
         # rebuild just the small top level.
