@@ -58,3 +58,40 @@ def test_tile_and_spp_sharded():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(n_tile=16, n_spp=1)
+
+
+def test_multichip_fused_equals_single_chip():
+    """The PRODUCTION integrator (fused wavefront, wide8) sharded over a
+    (tile=4, spp=2) mesh is bitwise identical to the single-chip pass with
+    the same total sample count (seeds are (global pixel, global sample))."""
+    import jax
+    import numpy as np
+
+    from unity_webgpu_pathtracer_tpu.config import RenderConfig
+    from unity_webgpu_pathtracer_tpu.models.cornell import cornell_box
+    from unity_webgpu_pathtracer_tpu.parallel.film_tiling import (
+        make_mesh,
+        multichip_fused_pass,
+    )
+    from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    size = 32
+    scene, cam = cornell_box()
+    sd = scene.build("wide8")
+    params = make_camera_params(width=size, height=size, **cam)
+    config = RenderConfig(width=size, height=size, samples_per_pass=2,
+                          max_bounces=3, traversal="wide8", sky_mode=2,
+                          integrator="fused", pool_size=2048)
+    mesh = make_mesh(n_tile=4, n_spp=2)
+    film_mc, occ, rays, arr = multichip_fused_pass(sd, config, params, 0,
+                                                   mesh, pool_size=2048)
+    cfg1 = RenderConfig(width=size, height=size, samples_per_pass=4,
+                        max_bounces=3, traversal="wide8", sky_mode=2,
+                        integrator="fused", pool_size=2048)
+    film_1, *_ = jax.jit(
+        fused_pass_with_stats, static_argnums=(1,),
+        static_argnames=("pool_size",),
+    )(sd, cfg1, params, 0, pool_size=2048)
+    np.testing.assert_array_equal(np.asarray(film_mc), np.asarray(film_1))
+    assert int(rays) > 0 and float(occ) > 0

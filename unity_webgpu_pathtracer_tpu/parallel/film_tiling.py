@@ -79,3 +79,52 @@ def multichip_render_pass(scene, config: RenderConfig, params: RenderParams,
 
 def multichip_samples_per_pass(config: RenderConfig, mesh: Mesh) -> int:
     return config.samples_per_pass * mesh.shape["spp"]
+
+
+def multichip_fused_pass(scene, config: RenderConfig, params: RenderParams,
+                         current_sample, mesh: Mesh,
+                         pool_size: int | None = None):
+    """One fused-wavefront pass sharded over ``mesh`` (tile, spp) — the
+    PRODUCTION integrator's multichip path.
+
+    Each shard runs its own work queue over its pixel rows and sample
+    block; seeds stay (global pixel, global sample) so the estimate is the
+    single-chip one. Per-pass sample count is
+    ``config.samples_per_pass * n_spp``. Returns the full film (replicated)
+    plus pooled (occupancy, rays, arrivals).
+    """
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    npix = config.pixel_count()
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if npix % n_tile:
+        raise ValueError("pixel count must divide the tile axis")
+    npix_l = npix // n_tile
+    spp_l = config.samples_per_pass
+
+    def per_chip(scene_rep, params_rep, current_sample_rep):
+        t = jax.lax.axis_index("tile")
+        si = jax.lax.axis_index("spp")
+        pixel_base = (t * npix_l).astype(jnp.uint32)
+        sample_base = (si * spp_l).astype(jnp.uint32)
+        film, occ, rays, arr = fused_pass_with_stats(
+            scene_rep, config, params_rep, current_sample_rep,
+            pool_size=pool_size,
+            shard=(pixel_base, npix_l, sample_base, spp_l),
+        )
+        film = jax.lax.psum(film, axis_name="spp")
+        full = jax.lax.all_gather(film, axis_name="tile", axis=0)
+        occ = jax.lax.pmean(jax.lax.pmean(occ, "spp"), "tile")
+        rays = jax.lax.psum(jax.lax.psum(rays, "spp"), "tile")
+        arr = jax.lax.psum(jax.lax.psum(arr, "spp"), "tile")
+        return full.reshape(npix, 3), occ, rays, arr
+
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(scene, params, jnp.asarray(current_sample, jnp.uint32))

@@ -190,10 +190,12 @@ def _analytic_light_hit(scene, o, d, t):
 
 def _transition(scene, config: RenderConfig, params: RenderParams,
                 s: FusedState, budget: int, current_sample, trav_done,
-                entry=None):
+                entry=None, shard=None):
     b = s.mode.shape[0]
     env_nee = config.sky_mode == SKY_MODE_ENVIRONMENT
     light_nee = config.has_lights and scene.lights.shape[0] > 0
+    if shard is None:
+        shard = (jnp.uint32(0), config.pixel_count(), jnp.uint32(0))
 
     shadow_done = trav_done | s.trav.found
     rng_state = s.rng
@@ -440,7 +442,9 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         scale = jnp.where(lum > params.max_firefly_luminance,
                           params.max_firefly_luminance / jnp.maximum(lum, 1e-20), 1.0)
         rad_out = rad_out * scale[:, None]
-    film = s.film.at[jnp.where(died, s.pixel, 0)].add(
+    # Film rows are shard-local; s.pixel is global.
+    pix_local = s.pixel - jnp.asarray(shard[0], jnp.int32)
+    film = s.film.at[jnp.where(died, pix_local, 0)].add(
         jnp.where(died[:, None], rad_out, 0.0)
     )
 
@@ -465,15 +469,22 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     hit_tri = jnp.where(saved, s.trav.tri, s.hit_tri)
     hit_inst = jnp.where(saved, s.trav.hit_inst, s.hit_inst)
 
-    # Regeneration into dead lanes.
+    # Regeneration into dead lanes. Under multichip sharding the shard owns
+    # pixels [pixel_base, pixel_base + npix_l) and a disjoint sample-index
+    # block; seeds stay (global pixel, global sample), identical to the
+    # single-chip pass.
     dead_now = new_mode == MODE_DEAD
-    npix = config.pixel_count()
+    pixel_base, npix_l, sample_base = shard
     remaining = budget - s.queue_head
     rank = jnp.cumsum(dead_now.astype(jnp.int32)) - 1
     work_id = s.queue_head + rank
     take = dead_now & (rank < remaining)
-    pixel_new = (work_id % npix).astype(jnp.uint32)
-    sample_new = (work_id // npix).astype(jnp.uint32) + jnp.asarray(current_sample, jnp.uint32)
+    pixel_new = (work_id % npix_l).astype(jnp.uint32) + jnp.asarray(pixel_base, jnp.uint32)
+    sample_new = (
+        (work_id // npix_l).astype(jnp.uint32)
+        + jnp.asarray(current_sample, jnp.uint32)
+        + jnp.asarray(sample_base, jnp.uint32)
+    )
     rng_new = urng.seed(pixel_new, sample_new, params.seed_root)
     coords, rng_new = ucamera.jittered_pixel_coords(pixel_new, config, rng_new)
     o_new, d_new, rng_new = ucamera.get_screen_ray(coords, config, params, rng_new)
@@ -519,10 +530,23 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
 
 
 def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
-                          current_sample, pool_size: int | None = None):
-    """Render one pass; returns ``(film_sum, occupancy, rays, arrivals)``."""
-    npix = config.pixel_count()
-    budget = npix * config.samples_per_pass
+                          current_sample, pool_size: int | None = None,
+                          shard=None):
+    """Render one pass; returns ``(film_sum, occupancy, rays, arrivals)``.
+
+    ``shard`` (multichip): ``(pixel_base, npix_local, sample_base,
+    spp_local)`` — the shard renders pixels ``[pixel_base, pixel_base +
+    npix_local)`` with samples offset by ``sample_base``; film rows are
+    shard-local. ``npix_local``/``spp_local`` must be Python ints.
+    """
+    if shard is None:
+        npix_l = config.pixel_count()
+        spp_l = config.samples_per_pass
+        shard_t = None
+    else:
+        pixel_base, npix_l, sample_base, spp_l = shard
+        shard_t = (pixel_base, npix_l, sample_base)
+    budget = npix_l * spp_l
     b = pool_size or config.pool_size or min(budget, 1 << 19)
     use_v2 = config.traversal == "wide2"
     use_v8 = config.traversal == "wide8"
@@ -563,7 +587,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         pending=z3, throughput=z3, radiance=z3,
         rng=jnp.zeros((b,), jnp.uint32), pixel=zi, depth=zi,
         max_roughness=zf, prev_pdf=zf, lane_cap=zi,
-        film=jnp.zeros((npix, 3), jnp.float32),
+        film=jnp.zeros((npix_l, 3), jnp.float32),
         queue_head=jnp.asarray(0, jnp.int32),
         arrivals=jnp.asarray(0, jnp.int32),
         rays=jnp.asarray(0, jnp.int32),
@@ -618,7 +642,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             ticks=s.ticks + b,
         )
         return _transition(scene, config, params, s, budget, current_sample,
-                           trav_done, entry)
+                           trav_done, entry, shard_t)
 
     final = jax.lax.while_loop(cond, body, init)
     occupancy = final.busy.astype(jnp.float32) / jnp.maximum(
