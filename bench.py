@@ -34,7 +34,8 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     pool = int(os.environ.get("BENCH_POOL", 1 << 18))
     trav = os.environ.get("BENCH_TRAV", "wide8")
-    te = int(os.environ.get("BENCH_TE", 6))
+    spp = int(os.environ.get("BENCH_SPP", 8))
+    te = int(os.environ.get("BENCH_TE", 8))
     width, height = (512, 512) if small else (1920, 1080)
     target_tris = 64_000 if small else 1_000_000
     if small:
@@ -44,7 +45,7 @@ def main():
     t0 = time.time()
     scene, cam = million_triangle_scene(target_tris)
     config = RenderConfig(
-        width=width, height=height, samples_per_pass=2, max_bounces=5,
+        width=width, height=height, samples_per_pass=spp, max_bounces=5,
         traversal=trav, sky_mode=SKY_MODE_ENVIRONMENT,
         has_environment_texture=True, use_russian_roulette=True,
         integrator="fused", pool_size=pool, bvh_octants=1, transition_every=te,
@@ -70,7 +71,7 @@ def main():
     log(f"compile+first pass: {time.time()-t0:.1f}s")
 
     # Timed passes.
-    n_passes = 2
+    n_passes = int(os.environ.get("BENCH_PASSES", 1))
     t0 = time.time()
     total_rays = 0
     for i in range(n_passes):

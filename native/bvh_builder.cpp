@@ -584,7 +584,10 @@ struct Wide8Emitter {
         if (c >= 6) v -= row[c - 6];
         halves[c][j] = f2h(v);
       }
-      idx[j] = t;
+      // Attribute index = position in BVH order: the host permutes the
+      // attribute tables by `order`, so spatially adjacent leaves read
+      // adjacent attr rows (gather locality in the shade transition).
+      idx[j] = lo + j;
     }
     std::memcpy(row + 4, halves, 9 * 8 * 2);
     std::memcpy(row + 40, idx, 8 * 4);
@@ -703,7 +706,8 @@ struct Wide8Emitter {
 
 extern "C" int build_wide8(const float* positions, const float* tri_records,
                            int tri_count, int leaf_size, float* out_rows,
-                           int row_capacity, int32_t* out_depth) {
+                           int row_capacity, int32_t* out_depth,
+                           int32_t* out_order) {
   if (tri_count <= 0 || leaf_size <= 0 || leaf_size > 8) return -1;
   Builder bld{positions, tri_count, leaf_size};
   bld.build();
@@ -714,5 +718,7 @@ extern "C" int build_wide8(const float* positions, const float* tri_records,
   if (n > row_capacity) return -1;
   std::memcpy(out_rows, em.rows.data(), em.rows.size() * sizeof(float));
   if (out_depth) *out_depth = em.max_depth;
+  if (out_order)
+    std::memcpy(out_order, bld.order.data(), bld.order.size() * sizeof(int32_t));
   return n;
 }

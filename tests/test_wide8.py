@@ -35,8 +35,10 @@ class FakeScene:
     def __init__(self, tris):
         recs = recs_of(tris)
         self.w8 = build_scene_wide8(tris, recs)
+        # Leaf rows index by BVH-order position; mirror Scene.build's
+        # permutation of the flat arrays.
         self.wide8_nodes = jnp.asarray(self.w8.nodes)
-        self.tris = jnp.asarray(recs)
+        self.tris = jnp.asarray(recs[self.w8.order])
         self.tri_index = jnp.arange(tris.shape[0], dtype=jnp.int32)
         self.inst_w2l = jnp.zeros((0, 12), jnp.float32)
 
@@ -117,7 +119,9 @@ def test_wide8_tlas_instancing():
         wide8_nodes = jnp.asarray(nodes.nodes)
         inst_w2l = jnp.asarray(w2l)
 
-    # Brute-force world-space union.
+    # Brute-force world-space union over the BVH-permuted mesh (instances
+    # index attributes by per-mesh BVH position).
+    base = base[w8.order]
     world2 = base @ t2[:3, :3].T + t2[:3, 3]
     all_tris = np.concatenate([base, world2.astype(np.float32)])
 

@@ -169,12 +169,14 @@ def native_wide8_or_none(positions: np.ndarray, tri_records: np.ndarray,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
     ]
     pos = np.ascontiguousarray(np.asarray(positions, np.float32).reshape(-1, 9))
     recs = np.ascontiguousarray(np.asarray(tri_records, np.float32).reshape(-1, 9))
     f = pos.shape[0]
     cap = max(f // 2 + f // 8 + 64, 16)
     rows = np.empty((cap, 48), np.float32)
+    order = np.empty((f,), np.int32)
     depth = ctypes.c_int(0)
     n = fn(
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -182,7 +184,8 @@ def native_wide8_or_none(positions: np.ndarray, tri_records: np.ndarray,
         f, leaf_size,
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         cap, ctypes.byref(depth),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     if n <= 0:
         return None
-    return np.ascontiguousarray(rows[:n]), int(depth.value)
+    return np.ascontiguousarray(rows[:n]), int(depth.value), order

@@ -204,6 +204,10 @@ def _leaf_row(row: np.ndarray, nmin, recs: np.ndarray, idx: np.ndarray):
 class Wide8:
     nodes: np.ndarray      # (N, 48) float32
     depth: int             # max stack depth observed (pushes per path)
+    # Triangle permutation: leaf rows index attributes by BVH-order
+    # position, so the host must permute the attribute tables by `order`
+    # (spatially adjacent leaves then read adjacent attr rows).
+    order: np.ndarray | None = None
 
 
 def build_wide8(bvh: BVH2, tri_records: np.ndarray,
@@ -219,7 +223,8 @@ def build_wide8(bvh: BVH2, tri_records: np.ndarray,
         rows.append(row)
         lo, cnt = int(starts[node]), int(counts[node])
         sel = bvh.order[lo : lo + cnt]
-        _leaf_row(row, bvh.nmin[node], tri_records[sel], attr_index[sel])
+        _leaf_row(row, bvh.nmin[node], tri_records[sel],
+                  attr_index[lo : lo + cnt])
         return my
 
     def emit(node: int, depth: int) -> int:
@@ -252,7 +257,8 @@ def build_wide8(bvh: BVH2, tri_records: np.ndarray,
     finally:
         sys.setrecursionlimit(old)
     assert max_depth < MAX_DEPTH, f"tree depth {max_depth} >= {MAX_DEPTH}"
-    return Wide8(nodes=np.stack(rows), depth=max_depth)
+    return Wide8(nodes=np.stack(rows), depth=max_depth,
+                 order=np.array(bvh.order, np.int32))
 
 
 def build_scene_wide8(positions: np.ndarray, tri_records: np.ndarray,
@@ -261,10 +267,11 @@ def build_scene_wide8(positions: np.ndarray, tri_records: np.ndarray,
 
     native = native_wide8_or_none(positions, tri_records, leaf_size)
     if native is not None:
-        rows, depth = native
+        rows, depth, order = native
         assert depth < MAX_DEPTH, f"tree depth {depth} >= {MAX_DEPTH}"
-        return Wide8(nodes=rows, depth=depth)
+        return Wide8(nodes=rows, depth=depth, order=order)
     bvh = build_bvh2(positions, leaf_size=leaf_size)
+    # Leaf rows store BVH-order positions; callers permute attrs by order.
     attr_index = np.arange(positions.shape[0], dtype=np.int32)
     return build_wide8(bvh, tri_records, attr_index)
 

@@ -41,7 +41,9 @@ class Wide8State(NamedTuple):
     ptr: jnp.ndarray       # (B,) int32 current row; DONE when finished
     pend: jnp.ndarray      # (B,) int32 pending-children mask (0xFF = fresh)
     sp: jnp.ndarray        # (B,) int32 stack height
-    stack: jnp.ndarray     # (B, MAX_DEPTH) int32 (row << 8) | mask
+    stack: jnp.ndarray     # (MAX_DEPTH, B) int32 (row << 8) | mask — level-major
+                           # so each level is a full (B,) lane row (a (B, D)
+                           # layout pads D=24 to 128 lanes: 5x bandwidth)
     t: jnp.ndarray         # (B,) best hit distance
     u: jnp.ndarray
     v: jnp.ndarray
@@ -61,7 +63,7 @@ def init_state8(b, t_max, ptr0: int = 0) -> Wide8State:
         ptr=jnp.full((b,), ptr0, jnp.int32),
         pend=jnp.full((b,), 0xFF, jnp.int32),
         sp=jnp.zeros((b,), jnp.int32),
-        stack=jnp.zeros((b, MAX_DEPTH), jnp.int32),
+        stack=jnp.zeros((MAX_DEPTH, b), jnp.int32),
         t=jnp.broadcast_to(t_max, (b,)).astype(jnp.float32),
         u=jnp.zeros((b,), jnp.float32),
         v=jnp.zeros((b,), jnp.float32),
@@ -115,7 +117,8 @@ def octant_index(d):
     )
 
 
-def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None) -> Wide8State:
+def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None,
+                  has_instances: bool = True) -> Wide8State:
     """One arrival for every lane: gather the current row, process it by
     kind (inner / leaf / instance), and advance ptr via descend or pop."""
     b = s.ptr.shape[0]
@@ -129,10 +132,13 @@ def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None) -> Wide8State:
     is_inst = live & (meta < 0)
     is_inner = live & (meta == 0)
 
-    in_blas = s.inst >= 0
-    o_ = jnp.where(in_blas[:, None], s.local_o, o)
-    d_ = jnp.where(in_blas[:, None], s.local_d, d)
-    inv_ = jnp.where(in_blas[:, None], s.local_inv, inv)
+    if has_instances:
+        in_blas = s.inst >= 0
+        o_ = jnp.where(in_blas[:, None], s.local_o, o)
+        d_ = jnp.where(in_blas[:, None], s.local_d, d)
+        inv_ = jnp.where(in_blas[:, None], s.local_inv, inv)
+    else:
+        o_, d_, inv_ = o, d, inv
     oct_ = octant_index(d_)
 
     anchor = row[:, 0:3]
@@ -148,12 +154,16 @@ def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None) -> Wide8State:
         ],
         axis=-1,
     )                                                            # (B, 3)
-    qw = _u32(row[:, 8:20])                                      # (B, 12)
+    # Whole-slice bitcast + reshape: per-column extracts of the (B, 48)
+    # gather result lower to strided slice-loops that cost ~1.5 ms each at
+    # B=262k (profiled); one bitcast of the contiguous slice is ~free.
+    qbytes = jax.lax.bitcast_convert_type(
+        row[:, 8:20], jnp.uint8).reshape(b, 48).astype(jnp.float32)
     t_near = jnp.zeros((b, 8), jnp.float32)
     t_far = jnp.broadcast_to(s.t[:, None], (b, 8))
     for c in range(3):
-        qlo = _unpack_u8x8(qw[:, 2 * c : 2 * c + 2])
-        qhi = _unpack_u8x8(qw[:, 6 + 2 * c : 8 + 2 * c])
+        qlo = qbytes[:, 8 * c : 8 * c + 8]
+        qhi = qbytes[:, 24 + 8 * c : 32 + 8 * c]
         lo = anchor[:, c : c + 1] + qlo * scale[:, c : c + 1]
         hi = anchor[:, c : c + 1] + qhi * scale[:, c : c + 1]
         tl = (lo - o_[:, c : c + 1]) * inv_[:, c : c + 1]
@@ -165,9 +175,8 @@ def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None) -> Wide8State:
     # symmetric, so an inverted sentinel box tests like a full box.
     ptrs = _i32(row[:, 20:28])                                   # (B, 8)
     hit = hit & (ptrs >= 0)
-    mask = jnp.zeros((b,), jnp.int32)
-    for k in range(8):
-        mask = mask | (hit[:, k].astype(jnp.int32) << k)
+    bits8 = (1 << jnp.arange(8, dtype=jnp.int32))[None, :]
+    mask = jnp.sum(jnp.where(hit, bits8, 0), axis=1)             # row reduce
     mask = mask & s.pend
 
     # Nearest-first pick: visit slots in (k ^ octant) order (builder put
@@ -179,23 +188,23 @@ def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None) -> Wide8State:
         first_slot = jnp.where(has_bit, slot, first_slot)
     found_child = is_inner & (first_slot >= 0)
 
-    child_ptr = jnp.zeros((b,), jnp.int32)
-    for k in range(8):
-        child_ptr = jnp.where(first_slot == k, ptrs[:, k], child_ptr)
+    onehot_first = jnp.arange(8, dtype=jnp.int32)[None, :] == first_slot[:, None]
+    child_ptr = jnp.sum(jnp.where(onehot_first, ptrs, 0), axis=1)
     remaining = mask & ~(1 << jnp.maximum(first_slot, 0))
 
     # Push (row, remaining) with a one-hot select over the stack levels.
     push = found_child & (remaining > 0)
     entry = (idx << 8) | remaining
-    levels = jnp.arange(MAX_DEPTH, dtype=jnp.int32)[None, :]
+    levels = jnp.arange(MAX_DEPTH, dtype=jnp.int32)[:, None]
     stack = jnp.where(
-        (levels == s.sp[:, None]) & push[:, None], entry[:, None], s.stack
+        (levels == s.sp[None, :]) & push[None, :], entry[None, :], s.stack
     )
     sp = s.sp + push.astype(jnp.int32)
 
     # ---- leaf: decode f16 anchored triangle records, Möller-Trumbore ----
-    tw = _u32(row[:, 4:40])                                      # (B, 36)
-    comp = [_unpack_f16x8(tw[:, 4 * c : 4 * c + 4]) for c in range(9)]
+    halves = jax.lax.bitcast_convert_type(
+        row[:, 4:40], jnp.float16).reshape(b, 72).astype(jnp.float32)
+    comp = [halves[:, 8 * c : 8 * c + 8] for c in range(9)]
     e2x, e2y, e2z = comp[0], comp[1], comp[2]
     e1x, e1y, e1z = comp[3], comp[4], comp[5]
     v0x = comp[6] + anchor[:, 0:1]
@@ -228,18 +237,42 @@ def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None) -> Wide8State:
     )
     tt = jnp.where(valid, tt, FAR_PLANE)
     attrs = _i32(row[:, 40:48])
-    t_new, u_new, v_new, tri_new = s.t, s.u, s.v, s.tri
-    for k in range(8):
-        better = tt[:, k] < t_new
-        t_new = jnp.where(better, tt[:, k], t_new)
-        u_new = jnp.where(better, uu[:, k], u_new)
-        v_new = jnp.where(better, vv[:, k], v_new)
-        tri_new = jnp.where(better, attrs[:, k], tri_new)
-    improved = t_new < s.t
+    # Lane-wise best hit via argmin + one-hot row reductions (column
+    # extracts tt[:, k] would each materialize a strided slice-loop).
+    best = jnp.argmin(tt, axis=1)
+    onehot_b = jnp.arange(8, dtype=jnp.int32)[None, :] == best[:, None]
+    t_cand = jnp.sum(jnp.where(onehot_b, tt, 0.0), axis=1)
+    improved = t_cand < s.t
+    t_new = jnp.where(improved, t_cand, s.t)
+    u_new = jnp.where(improved, jnp.sum(jnp.where(onehot_b, uu, 0.0), axis=1), s.u)
+    v_new = jnp.where(improved, jnp.sum(jnp.where(onehot_b, vv, 0.0), axis=1), s.v)
+    tri_new = jnp.where(improved, jnp.sum(jnp.where(onehot_b, attrs, 0), axis=1), s.tri)
     found_new = s.found | improved
     hit_inst = jnp.where(improved, s.inst, s.hit_inst)
 
     # ---- instance: enter instance space, jump to the BLAS root ----
+    if not has_instances:
+        need_pop = (is_inner & ~found_child) | is_leaf
+        has = sp > 0
+        top = jnp.sum(
+            jnp.where(levels == (sp - 1)[None, :], stack, 0), axis=0
+        )
+        pop_ptr = jnp.where(has, top >> 8, DONE)
+        pop_pend = top & 0xFF
+        sp_after = jnp.where(need_pop & has, sp - 1, sp)
+        new_ptr = jnp.where(found_child, child_ptr,
+                            jnp.where(need_pop, pop_ptr, s.ptr))
+        new_pend = jnp.where(found_child, 0xFF,
+                             jnp.where(need_pop, jnp.where(has, pop_pend, 0xFF),
+                                       s.pend))
+        return s._replace(
+            ptr=jnp.where(live, new_ptr, s.ptr),
+            pend=jnp.where(live, new_pend, s.pend),
+            sp=jnp.where(live, sp_after, s.sp),
+            stack=stack,
+            t=t_new, u=u_new, v=v_new, tri=tri_new, found=found_new,
+        )
+
     inst_id = jnp.where(is_inst, -meta - 1, 0)
     w2l = row[:, 4:16]
     lo3 = jnp.stack(
@@ -270,7 +303,7 @@ def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None) -> Wide8State:
     need_pop = (is_inner & ~found_child) | is_leaf
     has = sp > 0
     top = jnp.sum(
-        jnp.where(levels == (sp - 1)[:, None], stack, 0), axis=1
+        jnp.where(levels == (sp - 1)[None, :], stack, 0), axis=0
     )
     pop_ptr = jnp.where(has, top >> 8, DONE)
     pop_pend = top & 0xFF
@@ -308,6 +341,7 @@ def _traverse(scene, origins, directions, t_max, any_hit: bool):
     nodes = scene.wide8_nodes                                    # (N, 48)
     inv = safe_rcp(directions)
     init = init_state8(b, t_max)
+    has_inst = scene.inst_w2l.shape[0] > 0
 
     def cond(s):
         live = s.ptr >= 0
@@ -317,7 +351,8 @@ def _traverse(scene, origins, directions, t_max, any_hit: bool):
 
     def body(s):
         active = None if not any_hit else ~s.found
-        return arrival_step8(nodes, origins, directions, inv, s, active)
+        return arrival_step8(nodes, origins, directions, inv, s, active,
+                             has_instances=has_inst)
 
     return jax.lax.while_loop(cond, body, init)
 

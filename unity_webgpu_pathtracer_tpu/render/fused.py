@@ -61,7 +61,7 @@ from unity_webgpu_pathtracer_tpu.render import film as ufilm
 from unity_webgpu_pathtracer_tpu.render.lights import _unity_falloff
 from unity_webgpu_pathtracer_tpu.render.sampling import power_heuristic, uniform_sample_sphere
 from unity_webgpu_pathtracer_tpu.render.sky import sample_sky_radiance
-from unity_webgpu_pathtracer_tpu.scene.envmap import sample_env_map_alias
+from unity_webgpu_pathtracer_tpu.scene.envmap import sample_env_transition
 from unity_webgpu_pathtracer_tpu.scene.material import derive_material
 from unity_webgpu_pathtracer_tpu.utils import rng as urng
 from unity_webgpu_pathtracer_tpu.utils.math import (
@@ -216,8 +216,22 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         lhit = jnp.zeros((b,), bool)
         lidx = jnp.zeros((b,), jnp.int32)
 
-    # --- miss -> sky with MIS ---
-    sky_color, sky_pdf = sample_sky_radiance(config, params, scene.env, s.path_d, s.depth)
+    # --- miss -> sky with MIS (and, for HDRI scenes, the env-NEE sample:
+    # miss lanes and NEE lanes are disjoint, so ONE gather serves both,
+    # scene.envmap.sample_env_transition) ---
+    env_merged = env_nee and config.has_environment_texture
+    if env_merged:
+        want_alias = a & hit_valid
+        (sky_raw, sky_pdf, env_dir, env_col, env_pdf,
+         rng_state) = sample_env_transition(
+            scene.env, params.environment_rotation, s.path_d, want_alias,
+            rng_state)
+        intensity = jnp.where(s.depth > 0, params.environment_intensity, 1.0)
+        sky_color = sky_raw * intensity[:, None]
+        env_li = env_col * params.environment_intensity
+    else:
+        sky_color, sky_pdf = sample_sky_radiance(config, params, scene.env,
+                                                 s.path_d, s.depth)
     mis = jnp.where(s.depth > 0, power_heuristic(s.prev_pdf, sky_pdf), 1.0)
     miss = a & ~hit_valid & ~lhit
     radiance = s.radiance + jnp.where(
@@ -319,10 +333,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     # --- env NEE direction/Li (light.hlsl:125-158) ---
     if env_nee:
         if config.has_environment_texture:
-            env_dir, env_col, env_pdf, rng_state = sample_env_map_alias(
-                scene.env, params.environment_rotation, rng_state
-            )
-            env_li = env_col * params.environment_intensity
+            pass  # env_dir/env_li/env_pdf came from the merged env gather
         else:
             (r1, r2), rng_state = urng.random_floats(rng_state, 2)
             env_dir = uniform_sample_sphere(r1, r2)
@@ -610,7 +621,8 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             for _ in range(te):
                 active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
                 trav = tw8.arrival_step8(nodes8, s.trav_o, s.trav_d, inv,
-                                         trav, active)
+                                         trav, active,
+                                         has_instances=inst_w2l is not None)
             stepping = (s.mode != MODE_DEAD) & (s.trav.ptr >= 0)
             trav_done = trav.ptr < 0
         elif use_v2:

@@ -39,6 +39,9 @@ class EnvMap(NamedTuple):
     alias_idx: jnp.ndarray   # (H*W,) int32 alias texel
     alias_row: jnp.ndarray   # (H*W, 8) [prob, alias_idx(bits), self rgb, alias rgb]
     quad_rows: jnp.ndarray   # (H*W, 12) 2x2 wrap footprint [p00|p10|p01|p11], or (1,12) if disabled
+    merged_rows: jnp.ndarray # (H*W, 20) [alias_row | quad_rows]: ONE gather serves
+                             # both the transition's disjoint env consumers (miss
+                             # lanes read the quad half, NEE lanes the alias half)
 
 
 def _build_alias(weights: np.ndarray):
@@ -94,6 +97,10 @@ def build_envmap(image: np.ndarray) -> EnvMap:
     else:
         quad_rows = np.zeros((1, 12), np.float32)
 
+    if quad_rows.shape[0] == h * w:
+        merged = np.concatenate([alias_row[: h * w], quad_rows], axis=1)
+    else:
+        merged = np.zeros((1, 20), np.float32)
     return EnvMap(
         image=jnp.asarray(img),
         cdf=jnp.asarray(cdf),
@@ -102,6 +109,7 @@ def build_envmap(image: np.ndarray) -> EnvMap:
         alias_idx=jnp.asarray(alias),
         alias_row=jnp.asarray(alias_row),
         quad_rows=jnp.asarray(quad_rows),
+        merged_rows=jnp.asarray(merged),
     )
 
 
@@ -258,4 +266,75 @@ def empty_envmap() -> EnvMap:
         alias_idx=jnp.zeros((1,), jnp.int32),
         alias_row=jnp.zeros((1, 8), jnp.float32).at[0, 0].set(1.0),
         quad_rows=jnp.zeros((1, 12), jnp.float32),
+        merged_rows=jnp.zeros((1, 20), jnp.float32),
     )
+
+
+def sample_env_transition(env: EnvMap, rotation, directions, want_alias, state):
+    """The fused transition's entire environment interaction in ONE gather.
+
+    Miss lanes and env-NEE lanes are disjoint, so a single index vector into
+    ``merged_rows`` serves both: miss lanes read the 2x2 bilinear footprint
+    (cols 8:20) at their direction's texel, NEE lanes read the alias row
+    (cols 0:8) at their sampled bin. Falls back to the separate paths when
+    the merged table is disabled (very large envs).
+
+    Returns ``(sky_color, sky_pdf, nee_dir, nee_color, nee_pdf, state)`` —
+    sky_* valid on ~want_alias lanes, nee_* on want_alias lanes.
+    """
+    from unity_webgpu_pathtracer_tpu.utils import rng as urng
+
+    h, w = env.image.shape[0], env.image.shape[1]
+    k = h * w
+    (u1, u2), state = urng.random_floats(state, 2)
+    bin_ = jnp.clip((u1 * k).astype(jnp.int32), 0, k - 1)
+
+    # Sky footprint at the (escaped) path direction.
+    d = directions
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    phi_atan = jnp.arctan2(d[..., 2], d[..., 0])
+    uv = jnp.stack(
+        [(PI + phi_atan) * INV_TWO_PI + rotation, 1.0 - theta * INV_PI],
+        axis=-1,
+    )
+
+    if env.merged_rows.shape[0] != k:
+        # Fallback: two separate gather paths (still gather-merged per use).
+        sky_color = env_bilinear(env, uv)
+        sin_theta = jnp.sin(theta)
+        sky_pdf = (
+            luminance(sky_color) / jnp.maximum(env.cdf_sum, 1e-20)
+            * (w * h) / jnp.maximum(TWO_PI * PI * sin_theta, 1e-8)
+        )
+        sky_pdf = jnp.where(sin_theta <= 0.0, 0.0, sky_pdf)
+        nee_dir, nee_color, nee_pdf, state = sample_env_map_alias(
+            env, rotation, state)
+        return sky_color, sky_pdf, nee_dir, nee_color, nee_pdf, state
+
+    x0i, y0i, fx, fy = _bilerp_coords(h, w, uv)
+    sky_idx = y0i * w + x0i
+    idx = jnp.where(want_alias, bin_, sky_idx)
+    row = env.merged_rows[idx]                                  # (B, 20)
+
+    # NEE half (alias method).
+    take_alias = u2 >= row[..., 0]
+    alias_idx = jax.lax.bitcast_convert_type(row[..., 1], jnp.int32)
+    a_idx = jnp.where(take_alias, alias_idx, bin_)
+    nee_color = jnp.where(take_alias[..., None], row[..., 5:8], row[..., 2:5])
+    _uv_a, nee_dir, sin_a = _texel_direction_pdf(env, a_idx, rotation)
+    nee_pdf = luminance(nee_color) / jnp.maximum(env.cdf_sum, 1e-20)
+    nee_pdf = nee_pdf * (w * h) / jnp.maximum(TWO_PI * PI * sin_a, 1e-8)
+    nee_pdf = jnp.where(sin_a <= 0.0, 0.0, nee_pdf)
+
+    # Sky half (bilinear from the pre-baked footprint).
+    p00, p10 = row[..., 8:11], row[..., 11:14]
+    p01, p11 = row[..., 14:17], row[..., 17:20]
+    sky_color = (p00 * (1 - fx) + p10 * fx) * (1 - fy) + (
+        p01 * (1 - fx) + p11 * fx) * fy
+    sin_theta = jnp.sin(theta)
+    sky_pdf = (
+        luminance(sky_color) / jnp.maximum(env.cdf_sum, 1e-20)
+        * (w * h) / jnp.maximum(TWO_PI * PI * sin_theta, 1e-8)
+    )
+    sky_pdf = jnp.where(sin_theta <= 0.0, 0.0, sky_pdf)
+    return sky_color, sky_pdf, nee_dir, nee_color, nee_pdf, state

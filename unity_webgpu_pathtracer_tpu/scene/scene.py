@@ -177,7 +177,20 @@ class Scene:
         if traversal == "wide8":
             from unity_webgpu_pathtracer_tpu.accel.wide8 import build_scene_wide8
 
-            wide8 = build_scene_wide8(flat.positions, tris).nodes
+            w8 = build_scene_wide8(flat.positions, tris)
+            wide8 = w8.nodes
+            # Leaf rows index attributes by BVH-order position: permute the
+            # triangle records and attribute arrays (spatially adjacent
+            # leaves then read adjacent attr rows — gather locality).
+            order = w8.order
+            tris = tris[order]
+            flat = FlatTriangles(
+                positions=flat.positions[order],
+                normals=flat.normals[order],
+                tangents=flat.tangents[order],
+                uvs=flat.uvs[order],
+                material=flat.material[order],
+            )
             bounds = np.zeros((1, 48), np.float32)
             child = np.zeros((1, 8), np.int32)
         elif traversal == "wide2":
@@ -269,10 +282,17 @@ class Scene:
             for mesh, _transform in self.meshes:
                 flat = flatten_mesh(mesh, None)
                 recs = flat.tri_records()
-                blas.append(build_scene_wide8(flat.positions, recs))
+                w8 = build_scene_wide8(flat.positions, recs)
+                blas.append(w8)
                 p = flat.positions.reshape(-1, 3)
                 blas_bounds.append((p.min(0), p.max(0)))
-                parts.append(flat)
+                # Per-mesh BVH-order permutation (leaf idx are mesh-local
+                # BVH positions + attr_base).
+                o = w8.order
+                parts.append(FlatTriangles(
+                    positions=flat.positions[o], normals=flat.normals[o],
+                    tangents=flat.tangents[o], uvs=flat.uvs[o],
+                    material=flat.material[o]))
                 attr_bases.append(attr_base)
                 attr_base += flat.count
             self._blas8_cache = (blas, blas_bounds, parts, attr_bases)
