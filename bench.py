@@ -26,6 +26,15 @@ def log(*a):
 def main():
     import jax
 
+    # Persistent compilation cache: the second bench invocation skips the
+    # ~60s first-pass compile (erratic 20-280s through the axon tunnel).
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from unity_webgpu_pathtracer_tpu.config import SKY_MODE_ENVIRONMENT, RenderConfig
     from unity_webgpu_pathtracer_tpu.models.benchmark import million_triangle_scene
     from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params

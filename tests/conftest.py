@@ -20,3 +20,13 @@ import jax  # noqa: E402
 # the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: repeated suite runs skip recompiles.
+import os as _os
+
+_cache = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs
+    pass

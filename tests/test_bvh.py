@@ -101,6 +101,7 @@ def test_occlusion_matches_bruteforce():
     np.testing.assert_array_equal(occ_bvh, occ_bf)
 
 
+@pytest.mark.slow
 def test_cornell_bvh_render_matches_bruteforce():
     """Full-pipeline equivalence: same seeds, bvh vs brute force — identical
     radiance up to float reassociation."""

@@ -52,6 +52,7 @@ def _opaque_texture_scene():
     return scene, cam, overrides
 
 
+@pytest.mark.slow
 def test_analytic_lights_illuminate():
     img = _render(lights_scene, spp=24)
     assert np.isfinite(img).all()
@@ -78,6 +79,7 @@ def test_depth_of_field_geometry():
     assert p.std(axis=0).max() < 1e-6                      # focal convergence
 
 
+@pytest.mark.slow
 def test_depth_of_field_blurs_out_of_focus():
     scene, cam, overrides = camera_aperture_scene()
     size = 48

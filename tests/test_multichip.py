@@ -32,6 +32,7 @@ def _setup(spp=2):
     return scene.build(config.traversal), config, params
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_tile_sharded_bitwise_equals_single_chip():
     scene, config, params = _setup()
@@ -41,6 +42,7 @@ def test_tile_sharded_bitwise_equals_single_chip():
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(single))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_tile_and_spp_sharded():
     scene, config, params = _setup(spp=1)
@@ -60,6 +62,7 @@ def test_mesh_validation():
         make_mesh(n_tile=16, n_spp=1)
 
 
+@pytest.mark.slow
 def test_multichip_fused_equals_single_chip():
     """The PRODUCTION integrator (fused wavefront, wide8) sharded over a
     (tile=4, spp=2) mesh is bitwise identical to the single-chip pass with

@@ -52,6 +52,7 @@ def _flattened_scene():
     return scene
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("integrator", ["megakernel", "fused"])
 def test_instanced_matches_flattened(integrator):
     kw = dict(width=SIZE, height=SIZE, samples_per_pass=24, max_bounces=3,

@@ -24,6 +24,7 @@ def _setup(spp, integrator, pool_size=0):
     return scene, config, params
 
 
+@pytest.mark.slow
 def test_wavefront_matches_megakernel_statistically():
     scene, config_w, params = _setup(96, "wavefront", pool_size=2048)
     _, config_m, _ = _setup(96, "megakernel")

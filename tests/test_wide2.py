@@ -36,6 +36,7 @@ def test_wide2_matches_bruteforce(small_scene, octants):
     np.testing.assert_array_equal(occ1, occ2)
 
 
+@pytest.mark.slow
 def test_fused_wide2_matches_megakernel_mean(small_scene):
     """Regression for the lane-cap truncation bug: on scenes with long
     traversals, fused and megakernel means must agree — any per-iteration
@@ -56,6 +57,7 @@ def test_fused_wide2_matches_megakernel_mean(small_scene):
     assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.03, (a.mean(), b.mean())
 
 
+@pytest.mark.slow
 def test_fused_wide2_tlas():
     scene, cam, ov = tlas_scene(n=3)
     size = 32

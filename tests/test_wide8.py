@@ -112,7 +112,7 @@ def test_wide8_tlas_instancing():
     t2 = np.eye(4, dtype=np.float32)
     t2[:3, 3] = (3.0, 0.5, -1.0)
     t2[0, 0] = 2.0  # non-uniform scale exercises the unnormalized-dir trick
-    nodes, l2w, w2l = build_tlas_wide8(
+    nodes, l2w, w2l, _layout = build_tlas_wide8(
         [w8, w8][:1] * 1, [bounds], [(0, t1, None), (0, t2, None)], [0])
 
     class S:

@@ -48,6 +48,7 @@ def test_wide_matches_bruteforce(ntri, octants):
     np.testing.assert_array_equal(occ1, occ2)
 
 
+@pytest.mark.slow
 def test_fused_white_furnace():
     scene = Scene()
     m = scene.add_material(MaterialDesc(base_color=(1, 1, 1, 1), roughness=1.0))
@@ -67,6 +68,7 @@ def test_fused_white_furnace():
     assert 0.95 < img.mean() < 1.12
 
 
+@pytest.mark.slow
 def test_fused_matches_megakernel_env_texture():
     scene = Scene()
     m = scene.add_material(MaterialDesc(base_color=(0.7, 0.4, 0.3, 1), roughness=0.4,
@@ -92,6 +94,7 @@ def test_fused_matches_megakernel_env_texture():
     assert rel.mean() < 0.05, rel.mean()
 
 
+@pytest.mark.slow
 def test_fused_cornell_statistics():
     scene, cam = cornell_box()
     size = 32

@@ -277,11 +277,21 @@ def build_scene_wide8(positions: np.ndarray, tri_records: np.ndarray,
 
 
 # ---------------------------------------------------------------------- TLAS
-def build_tlas_wide8(blas: list[Wide8], blas_bounds, instances,
-                     attr_bases: list[int] | None = None) -> Wide8:
-    """Two-level table: 8-wide TLAS over instance AABBs, instance rows
-    jumping into rebased BLAS tables appended after the TLAS
-    (``BVHScene.cs:671-757`` role; one unified device table)."""
+@dataclasses.dataclass
+class TlasLayout:
+    """Fixed device layout of the unified two-level table: the TLAS owns
+    rows [0, tlas_cap); BLAS tables sit at immutable offsets after it, so a
+    transform-only update re-emits ONLY the TLAS rows (the reference's
+    per-frame path uploads only the small TLAS, ``BVHScene.cs:823-838``)."""
+
+    tlas_cap: int
+    blas_root: dict          # mesh_id -> absolute root row
+    blas_depth: int
+
+
+def emit_tlas_rows(instances, blas_bounds, blas_root: dict, tlas_cap: int):
+    """Emit the 8-wide TLAS rows (instance rows point into fixed BLAS
+    roots), zero-padded to ``tlas_cap``. Returns (rows, depth, l2w, w2l)."""
     ni = len(instances)
     inst_aabb_min = np.zeros((ni, 3), np.float32)
     inst_aabb_max = np.zeros((ni, 3), np.float32)
@@ -308,8 +318,6 @@ def build_tlas_wide8(blas: list[Wide8], blas_bounds, instances,
     starts, counts = _subtree_ranges(tb)
 
     rows: list[np.ndarray] = []
-    blas_offset: dict[int, int] = {}
-    pending_blas: list[int] = []
     max_depth = [0]
 
     def emit_inst(inst_i: int) -> int:
@@ -319,10 +327,7 @@ def build_tlas_wide8(blas: list[Wide8], blas_bounds, instances,
         mesh_id = instances[inst_i][0]
         row[OFF_META] = _f32(-(inst_i + 1))
         row[OFF_W2L : OFF_W2L + 12] = w2l[inst_i]
-        if mesh_id not in blas_offset:
-            blas_offset[mesh_id] = -1          # placeholder, fixed below
-            pending_blas.append(mesh_id)
-        row[OFF_BLAS] = _f32(mesh_id)          # patched to root ptr below
+        row[OFF_BLAS] = _f32(blas_root[mesh_id])
         return my
 
     def emit(node: int, depth: int) -> int:
@@ -332,7 +337,7 @@ def build_tlas_wide8(blas: list[Wide8], blas_bounds, instances,
         my = len(rows)
         row = np.zeros(ROW, np.float32)
         rows.append(row)
-        kids = _collapse8(tb, node, counts) if counts[node] > 1 else []
+        kids = _collapse8(tb, node, counts)
         # _collapse8 keeps subtrees with <= MAX_LEAF prims whole; for the
         # TLAS every instance must get its own row, so expand fully.
         changed = True
@@ -355,13 +360,34 @@ def build_tlas_wide8(blas: list[Wide8], blas_bounds, instances,
         return my
 
     emit(0, 1)
-    tlas_rows = np.stack(rows)
+    assert len(rows) <= tlas_cap, f"TLAS rows {len(rows)} > cap {tlas_cap}"
+    out = np.zeros((tlas_cap, ROW), np.float32)
+    out[: len(rows)] = np.stack(rows)
+    return out, max_depth[0], l2w, w2l
 
-    # Append each referenced BLAS once, rebasing child ptrs and attr bases.
-    tables = [tlas_rows]
-    offset = tlas_rows.shape[0]
+
+def tlas_capacity(n_instances: int) -> int:
+    """Row capacity covering any tree shape over n instances (1 instance
+    row each + at most one inner row per instance + slack)."""
+    return 2 * max(n_instances, 1) + 8
+
+
+def build_tlas_wide8(blas: list[Wide8], blas_bounds, instances,
+                     attr_bases: list[int] | None = None):
+    """Two-level table: 8-wide TLAS over instance AABBs (zero-padded to a
+    fixed capacity), instance rows jumping into rebased BLAS tables at
+    immutable offsets after it (``BVHScene.cs:671-757`` role; one unified
+    device table). Returns ``(Wide8, l2w, w2l, TlasLayout)``."""
+    cap = tlas_capacity(len(instances))
+    ref_meshes = []
+    for mesh_id, _t, _m in instances:
+        if mesh_id not in ref_meshes:
+            ref_meshes.append(mesh_id)
+    blas_root: dict[int, int] = {}
+    offset = cap
     blas_depth = 0
-    for mesh_id in pending_blas:
+    tables = []
+    for mesh_id in ref_meshes:
         t = np.array(blas[mesh_id].nodes)
         meta = t[:, OFF_META].view(np.int32)
         inner = meta == 0
@@ -375,21 +401,19 @@ def build_tlas_wide8(blas: list[Wide8], blas_bounds, instances,
                 idx[leaf] >= 0, idx[leaf] + attr_bases[mesh_id], -1
             )
             t[:, OFF_IDX : OFF_IDX + 8] = idx.view(np.float32)
-        blas_offset[mesh_id] = offset
+        blas_root[mesh_id] = offset
         blas_depth = max(blas_depth, blas[mesh_id].depth)
         tables.append(t)
         offset += t.shape[0]
 
-    # Patch instance rows with the final BLAS root pointers.
-    nodes = np.concatenate(tables, axis=0)
-    meta = nodes[:, OFF_META].view(np.int32)
-    for r in np.nonzero(meta < 0)[0]:
-        mesh_id = int(nodes[r, OFF_BLAS].view(np.int32))
-        nodes[r, OFF_BLAS] = _f32(blas_offset[mesh_id])
-
-    depth = max_depth[0] + blas_depth + 1
+    tlas_rows, tdepth, l2w, w2l = emit_tlas_rows(
+        instances, blas_bounds, blas_root, cap)
+    nodes = np.concatenate([tlas_rows] + tables, axis=0)
+    depth = tdepth + blas_depth + 1
     assert depth < MAX_DEPTH, f"TLAS+BLAS depth {depth} >= {MAX_DEPTH}"
-    return Wide8(nodes=nodes, depth=depth), l2w, w2l
+    layout = TlasLayout(tlas_cap=cap, blas_root=blas_root,
+                        blas_depth=blas_depth)
+    return Wide8(nodes=nodes, depth=depth), l2w, w2l, layout
 
 
 # ----------------------------------------------------------------- validation

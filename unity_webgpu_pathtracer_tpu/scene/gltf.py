@@ -6,8 +6,9 @@ renderer consumes: triangle primitives with POSITION/NORMAL/TEXCOORD_0,
 uint16/uint32 indices, node hierarchy with TRS or matrix transforms,
 pbrMetallicRoughness materials (factors + baseColor/metallicRoughness/
 emissive/occlusion/normal textures), alphaMode/alphaCutoff, KHR_materials
-transmission/ior factors, and PNG images (JPEG images are skipped with a
-warning — the atlas slot falls back to the factor constants).
+transmission/ior factors, and PNG + JPEG images (JPEG — glTF's common
+case, used by the reference's DamagedHelmet.glb — decodes via Pillow when
+available; otherwise the atlas slot falls back to the factor constants).
 """
 
 from __future__ import annotations
@@ -101,7 +102,6 @@ class _Reader:
             with open(os.path.join(self.base_dir, img["uri"]), "rb") as f:
                 blob = f.read()
         if blob[:8] == b"\x89PNG\r\n\x1a\n":
-            import io
             import tempfile
 
             with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as tf:
@@ -111,7 +111,27 @@ class _Reader:
                 return read_png(name)
             finally:
                 os.unlink(name)
-        return None  # JPEG etc.: fall back to factor constants
+        if blob[:2] == b"\xff\xd8":
+            # Baseline/progressive JPEG — glTF's common case (the reference's
+            # flagship DamagedHelmet.glb uses JPEG, imported by Unity in
+            # BVHScene.cs:284-426). Decoded via Pillow when present.
+            try:
+                import io
+
+                from PIL import Image
+
+                img_ = Image.open(io.BytesIO(blob)).convert("RGBA")
+                return np.asarray(img_, np.uint8)
+            except ImportError:
+                import warnings
+
+                warnings.warn(
+                    "JPEG texture skipped: Pillow not available; "
+                    "falling back to material factor constants",
+                    stacklevel=2,
+                )
+                return None
+        return None  # unknown format: fall back to factor constants
 
 
 def _node_matrix(node):
@@ -150,7 +170,7 @@ def load_gltf(path: str, use_instancing: bool = False) -> Scene:
 
     scene = Scene()
 
-    # Textures -> atlas (PNG only).
+    # Textures -> atlas.
     tex_index = {}
     for i, tex in enumerate(gltf.get("textures", [])):
         img = reader.image(tex["source"]) if "source" in tex else None

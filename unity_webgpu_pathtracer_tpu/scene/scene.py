@@ -112,6 +112,8 @@ class Scene:
     instances: list = dataclasses.field(default_factory=list)
     # Per-mesh BLAS build cache (filled by _build_instanced).
     _blas_cache: tuple | None = dataclasses.field(default=None, repr=False)
+    _blas8_cache: tuple | None = dataclasses.field(default=None, repr=False)
+    _tlas8_layout: object | None = dataclasses.field(default=None, repr=False)
 
     def set_instance_transform(self, instance_id: int, transform: np.ndarray) -> None:
         """Move an instance (``Bounce.cs`` analogue); next build() reuses
@@ -301,8 +303,9 @@ class Scene:
         flat_all = concat_flat(parts)
         m = flat_all.count
         instances = list(self.instances)
-        w8, inst_l2w, inst_w2l = build_tlas_wide8(
+        w8, inst_l2w, inst_w2l, layout = build_tlas_wide8(
             blas, blas_bounds, instances, attr_bases)
+        self._tlas8_layout = layout
         inst_offsets = np.zeros((len(instances), 4), np.int32)
         inst_offsets[:, 3] = [
             -1 if mat is None else mat for (_mid, _t, mat) in instances
@@ -420,3 +423,22 @@ class Scene:
             inst_offsets=jnp.asarray(inst_offsets),
             **extra,
         )
+
+
+def rebuild_tlas_rows(scene: "Scene"):
+    """Transform-only TLAS refresh for wide8 scenes: re-emits ONLY the
+    fixed-capacity TLAS section (cost independent of BLAS size — the
+    reference's per-frame path, ``BVHScene.cs:769-841``).
+
+    Returns ``(tlas_rows (cap,48), inst_l2w, inst_w2l)``; apply with
+    ``scene_data._replace(wide8_nodes=wide8_nodes.at[:cap].set(rows), ...)``.
+    """
+    from unity_webgpu_pathtracer_tpu.accel.wide8 import emit_tlas_rows
+
+    if scene._blas8_cache is None or scene._tlas8_layout is None:
+        raise ValueError("no cached wide8 two-level build; build('wide8') first")
+    _blas, blas_bounds, _parts, _attr_bases = scene._blas8_cache
+    layout = scene._tlas8_layout
+    rows, _depth, l2w, w2l = emit_tlas_rows(
+        list(scene.instances), blas_bounds, layout.blas_root, layout.tlas_cap)
+    return rows, l2w, w2l
