@@ -192,9 +192,16 @@ def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None,
     child_ptr = jnp.sum(jnp.where(onehot_first, ptrs, 0), axis=1)
     remaining = mask & ~(1 << jnp.maximum(first_slot, 0))
 
-    # Push (row, remaining) with a one-hot select over the stack levels.
+    # Push with a one-hot select over the stack levels. Two entry kinds:
+    # several children remain -> (row << 8) | mask, popped as a revisit
+    # (re-gather + re-test with the improved t); exactly ONE remains (the
+    # common case) -> its row pointer directly with mask 0, so the pop
+    # skips the parent re-gather entirely.
     push = found_child & (remaining > 0)
-    entry = (idx << 8) | remaining
+    iota8b = (remaining[:, None] >> jnp.arange(8, dtype=jnp.int32)[None, :]) & 1
+    one_left = jnp.sum(iota8b, axis=1) == 1
+    direct_ptr = jnp.sum(ptrs * iota8b, axis=1)
+    entry = jnp.where(one_left, direct_ptr << 8, (idx << 8) | remaining)
     levels = jnp.arange(MAX_DEPTH, dtype=jnp.int32)[:, None]
     stack = jnp.where(
         (levels == s.sp[None, :]) & push[None, :], entry[None, :], s.stack
@@ -258,7 +265,7 @@ def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None,
             jnp.where(levels == (sp - 1)[None, :], stack, 0), axis=0
         )
         pop_ptr = jnp.where(has, top >> 8, DONE)
-        pop_pend = top & 0xFF
+        pop_pend = jnp.where((top & 0xFF) == 0, 0xFF, top & 0xFF)  # 0 = direct entry
         sp_after = jnp.where(need_pop & has, sp - 1, sp)
         new_ptr = jnp.where(found_child, child_ptr,
                             jnp.where(need_pop, pop_ptr, s.ptr))
@@ -306,7 +313,7 @@ def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None,
         jnp.where(levels == (sp - 1)[None, :], stack, 0), axis=0
     )
     pop_ptr = jnp.where(has, top >> 8, DONE)
-    pop_pend = top & 0xFF
+    pop_pend = jnp.where((top & 0xFF) == 0, 0xFF, top & 0xFF)  # 0 = direct entry
     sp_after = jnp.where(need_pop & has, sp - 1, sp)
     # Popping below the instance-entry height returns the lane to world
     # space (all entries at or above it are BLAS-local).
