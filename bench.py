@@ -61,10 +61,12 @@ def main():
     )
     scene_data = scene.build(config.traversal, octants=config.bvh_octants)
     ntris = int(scene_data.tris.shape[0])
-    rows = (int(scene_data.wide8_nodes.shape[0]) if trav == "wide8"
-            else int(scene_data.wide_nodes.shape[1]))
-    mb = (scene_data.wide8_nodes.nbytes if trav == "wide8"
-          else scene_data.wide_nodes.nbytes) / 1e6
+    nodes = {
+        "wide8": scene_data.wide8_nodes,
+        "wide16": scene_data.wide16_nodes,
+    }.get(trav, scene_data.wide_nodes)
+    rows = int(nodes.shape[-2])
+    mb = nodes.nbytes / 1e6
     log(f"scene: {ntris:,} tris, {rows:,} {trav} rows ({mb:.0f} MB), "
         f"build {time.time()-t0:.1f}s")
 

@@ -722,3 +722,176 @@ extern "C" int build_wide8(const float* positions, const float* tri_records,
     std::memcpy(out_order, bld.order.data(), bld.order.size() * sizeof(int32_t));
   return n;
 }
+
+// ---------------------------------------------------------------------------
+// wide16: 16-wide quantized stack format (accel/wide16.py layout).
+// Row (96 floats): [0:3]=anchor, [3]=meta (0 inner / 1..16 leaf count),
+// inner: [4]=packed biased exponents, [8:32]=q8 child boxes comp-major
+// (qlox*16|qloy*16|qloz*16|qhix*16|qhiy*16|qhiz*16), [32:48]=child ptrs
+// (-1 empty); leaf: [4:76]=9x16 f16 tri comps (v0 anchor-relative),
+// [76:92]=attr idx. Children in surface-area order (the traversal picks
+// nearest-first at runtime from slab-entry t, so no octant coding).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct Wide16Emitter {
+  static constexpr int W = 16;
+  static constexpr int ROWF = 96;
+  const Builder& b;
+  const float* recs;   // (F,9) [e2,e1,v0] in ORIGINAL triangle order
+  std::vector<int> sstart, scount;
+  std::vector<float> rows;
+  int max_depth = 0;
+
+  void ranges() {
+    int n = (int)b.nodes.size();
+    sstart.resize(n);
+    scount.resize(n);
+    for (int i = n - 1; i >= 0; --i) {
+      const Node2& nd = b.nodes[i];
+      if (nd.count > 0) { sstart[i] = nd.start; scount[i] = nd.count; }
+      else {
+        int l = nd.left;
+        sstart[i] = std::min(sstart[l], sstart[l + 1]);
+        scount[i] = scount[l] + scount[l + 1];
+      }
+    }
+  }
+
+  float* new_row() {
+    rows.resize(rows.size() + ROWF, 0.f);
+    return rows.data() + rows.size() - ROWF;
+  }
+
+  int emit_leaf(int node) {
+    int my = (int)(rows.size() / ROWF);
+    float* row = new_row();
+    const int lo = sstart[node], cnt = scount[node];
+    const Node2& nd = b.nodes[node];
+    row[0] = nd.lo.x; row[1] = nd.lo.y; row[2] = nd.lo.z;
+    int32_t meta = cnt;
+    std::memcpy(row + 3, &meta, 4);
+    uint16_t halves[9][W] = {};
+    int32_t idx[W];
+    for (int k = 0; k < W; ++k) idx[k] = -1;
+    for (int j = 0; j < cnt; ++j) {
+      int t = b.order[lo + j];
+      const float* r = recs + (size_t)t * 9;
+      for (int c = 0; c < 9; ++c) {
+        float v = r[c];
+        if (c >= 6) v -= row[c - 6];
+        halves[c][j] = f2h(v);
+      }
+      idx[j] = lo + j;   // attr row = BVH-order position (host permutes)
+    }
+    std::memcpy(row + 4, halves, 9 * W * 2);
+    std::memcpy(row + 76, idx, W * 4);
+    return my;
+  }
+
+  int emit(int node, int depth) {
+    max_depth = std::max(max_depth, depth);
+    if (scount[node] <= W) return emit_leaf(node);
+    int my = (int)(rows.size() / ROWF);
+    new_row();
+
+    // Greedy SA collapse to <= 16 children; subtrees with <= 16 tris stay
+    // whole (one leaf row each).
+    int kids[W];
+    int nk = 0;
+    const Node2& nd = b.nodes[node];
+    kids[nk++] = nd.left;
+    kids[nk++] = nd.left + 1;
+    while (nk < W) {
+      int grow = -1;
+      float best = -1.f;
+      for (int i = 0; i < nk; ++i) {
+        int k = kids[i];
+        if (b.nodes[k].count == 0 && scount[k] > W) {
+          float a = area(b.nodes[k].lo, b.nodes[k].hi);
+          if (a > best) { best = a; grow = i; }
+        }
+      }
+      if (grow < 0) break;
+      int k = kids[grow];
+      kids[grow] = b.nodes[k].left;
+      kids[nk++] = b.nodes[k].left + 1;
+    }
+    std::sort(kids, kids + nk, [&](int a, int c) {
+      return area(b.nodes[a].lo, b.nodes[a].hi) > area(b.nodes[c].lo, b.nodes[c].hi);
+    });
+
+    // Quantize: anchor = node lo, conservative power-of-two scales.
+    float anchor[3] = {nd.lo.x, nd.lo.y, nd.lo.z};
+    float ext[3] = {std::max(nd.hi.x - nd.lo.x, 0.f),
+                    std::max(nd.hi.y - nd.lo.y, 0.f),
+                    std::max(nd.hi.z - nd.lo.z, 0.f)};
+    int e[3];
+    float scale[3];
+    for (int c = 0; c < 3; ++c) {
+      float v = std::max(ext[c] / 255.0f, 1e-30f);
+      e[c] = (int)std::ceil(std::log2((double)v));
+      e[c] = std::min(std::max(e[c], -126), 127);
+      scale[c] = std::ldexp(1.0f, e[c]);
+      if (255.0f * scale[c] < ext[c]) {
+        e[c] = std::min(e[c] + 1, 127);
+        scale[c] = std::ldexp(1.0f, e[c]);
+      }
+    }
+    uint8_t qlo[3][W], qhi[3][W];
+    for (int c = 0; c < 3; ++c)
+      for (int s = 0; s < W; ++s) { qlo[c][s] = 255; qhi[c][s] = 0; }
+    for (int s = 0; s < nk; ++s) {
+      const Node2& cn = b.nodes[kids[s]];
+      float clo[3] = {cn.lo.x, cn.lo.y, cn.lo.z};
+      float chi[3] = {cn.hi.x, cn.hi.y, cn.hi.z};
+      for (int c = 0; c < 3; ++c) {
+        float ql = std::floor((clo[c] - anchor[c]) / scale[c]);
+        float qh = std::ceil((chi[c] - anchor[c]) / scale[c]);
+        qlo[c][s] = (uint8_t)std::min(std::max(ql, 0.f), 255.f);
+        qhi[c][s] = (uint8_t)std::min(std::max(qh, 0.f), 255.f);
+      }
+    }
+
+    // Children first gives ptrs; then write the row (rows may reallocate).
+    int32_t ptrs[W];
+    for (int s = 0; s < W; ++s)
+      ptrs[s] = s < nk ? emit(kids[s], depth + 1) : -1;
+
+    float* row = rows.data() + (size_t)my * ROWF;
+    row[0] = anchor[0]; row[1] = anchor[1]; row[2] = anchor[2];
+    int32_t meta = 0;
+    std::memcpy(row + 3, &meta, 4);
+    int32_t eword = (e[0] + 127) | ((e[1] + 127) << 8) | ((e[2] + 127) << 16);
+    std::memcpy(row + 4, &eword, 4);
+    uint8_t qbytes[96];
+    for (int c = 0; c < 3; ++c) {
+      std::memcpy(qbytes + c * W, qlo[c], W);
+      std::memcpy(qbytes + 48 + c * W, qhi[c], W);
+    }
+    std::memcpy(row + 8, qbytes, 96);
+    std::memcpy(row + 32, ptrs, W * 4);
+    return my;
+  }
+};
+
+}  // namespace
+
+extern "C" int build_wide16(const float* positions, const float* tri_records,
+                            int tri_count, int leaf_size, float* out_rows,
+                            int row_capacity, int32_t* out_depth,
+                            int32_t* out_order) {
+  if (tri_count <= 0 || leaf_size <= 0 || leaf_size > 16) return -1;
+  Builder bld{positions, tri_count, leaf_size};
+  bld.build();
+  Wide16Emitter em{bld, tri_records};
+  em.ranges();
+  em.emit(0, 1);
+  int n = (int)(em.rows.size() / 96);
+  if (n > row_capacity) return -1;
+  std::memcpy(out_rows, em.rows.data(), em.rows.size() * sizeof(float));
+  if (out_depth) *out_depth = em.max_depth;
+  if (out_order)
+    std::memcpy(out_order, bld.order.data(), bld.order.size() * sizeof(int32_t));
+  return n;
+}

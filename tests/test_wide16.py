@@ -1,0 +1,165 @@
+"""wide16 (16-wide quantized stack) traversal: build invariants + equivalence.
+
+Same statistical-equivalence methodology as test_wide8.py (f16 leaf
+quantization shifts grazing hits), plus a fused-integrator film check
+against the wide8 backend."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from unity_webgpu_pathtracer_tpu.accel.wide16 import (
+    build_scene_wide16,
+    build_tlas_wide16,
+    validate_wide16,
+)
+from unity_webgpu_pathtracer_tpu.ops import traverse_wide16 as tw16
+from unity_webgpu_pathtracer_tpu.ops.intersect import closest_hit_bruteforce
+from unity_webgpu_pathtracer_tpu.utils.math import FAR_PLANE
+
+from tests.test_wide8 import random_rays, random_tris, recs_of
+
+
+class FakeScene:
+    def __init__(self, tris):
+        recs = recs_of(tris)
+        self.w16 = build_scene_wide16(tris, recs)
+        self.wide16_nodes = jnp.asarray(self.w16.nodes)
+        self.tris = jnp.asarray(recs[self.w16.order])
+        self.tri_index = jnp.arange(tris.shape[0], dtype=jnp.int32)
+        self.inst_w2l = jnp.zeros((0, 12), jnp.float32)
+
+
+@pytest.mark.parametrize("n", [12, 300, 4000])
+def test_wide16_build_valid(n):
+    tris = random_tris(n, seed=n)
+    w = build_scene_wide16(tris, recs_of(tris))
+    validate_wide16(w, n)
+
+
+def test_wide16_numpy_native_agree():
+    """The C++ emitter and the numpy emitter produce the same table."""
+    from unity_webgpu_pathtracer_tpu.accel.bvh2 import build_bvh2
+    from unity_webgpu_pathtracer_tpu.accel.native import native_wide16_or_none
+    from unity_webgpu_pathtracer_tpu.accel.wide16 import build_wide16
+
+    tris = random_tris(600, seed=5)
+    recs = recs_of(tris)
+    native = native_wide16_or_none(tris, recs, 4)
+    if native is None:
+        pytest.skip("native library unavailable")
+    rows_n, depth_n, order_n = native
+    w = build_scene_wide16(tris, recs)
+    # Both builders must emit VALID tables over the same geometry; byte
+    # equality is not required (different SAH tie-breaks are legal).
+    validate_wide16(w, 600)
+    from unity_webgpu_pathtracer_tpu.accel.wide16 import Wide16
+
+    validate_wide16(Wide16(nodes=rows_n, depth=depth_n, order=order_n), 600)
+
+
+@pytest.mark.parametrize("n,thresh", [(12, 0.99), (300, 0.995), (4000, 0.995)])
+def test_wide16_matches_bruteforce(n, thresh):
+    tris = random_tris(n, seed=n + 7)
+    scene = FakeScene(tris)
+    o, d = random_rays(512, seed=n, tris=tris)
+    t16, bary16, slot16, _ = tw16.closest_hit(scene, o, d)
+    tb, baryb, slotb, _ = closest_hit_bruteforce(scene, o, d)
+    hit16 = np.asarray(slot16) >= 0
+    hitb = np.asarray(slotb) >= 0
+    same = (hit16 == hitb) & (
+        ~hitb | (np.asarray(slot16) == np.asarray(scene.tri_index)[np.asarray(slotb)])
+    )
+    assert same.mean() >= thresh, f"only {same.mean():.4f} agree"
+    both = hit16 & hitb & same
+    assert both.any(), "ray set never hits the scene"
+    terr = np.abs(np.asarray(t16)[both] - np.asarray(tb)[both])
+    rel = terr / np.maximum(np.asarray(tb)[both], 1e-3)
+    assert np.quantile(rel, 0.99) < 5e-3
+
+
+def test_wide16_occluded_matches():
+    tris = random_tris(800, seed=3)
+    scene = FakeScene(tris)
+    o, d = random_rays(512, seed=4, tris=tris)
+    tb, _, slotb, _ = closest_hit_bruteforce(scene, o, d)
+    occ = np.asarray(tw16.occluded(scene, o, d, jnp.float32(FAR_PLANE)))
+    hitb = np.asarray(slotb) >= 0
+    assert (occ == hitb).mean() >= 0.995
+
+
+def test_wide16_tlas_instancing():
+    """Two instances of one mesh, one transformed — vs brute force over the
+    world-space union (mirrors test_wide8_tlas_instancing)."""
+    base = random_tris(200, seed=9, spread=1.0, size=0.3)
+    recs = recs_of(base)
+    w16 = build_scene_wide16(base, recs)
+    p = base.reshape(-1, 3)
+    bounds = (p.min(0), p.max(0))
+
+    t1 = np.eye(4, dtype=np.float32)
+    t2 = np.eye(4, dtype=np.float32)
+    t2[:3, 3] = (3.0, 0.5, -1.0)
+    t2[0, 0] = 2.0  # non-uniform scale exercises the unnormalized-dir trick
+    nodes, l2w, w2l, _layout = build_tlas_wide16(
+        [w16], [bounds], [(0, t1, None), (0, t2, None)], [0])
+
+    class S:
+        wide16_nodes = jnp.asarray(nodes.nodes)
+        inst_w2l = jnp.asarray(w2l)
+
+    base_p = base[w16.order]
+    world2 = base_p @ t2[:3, :3].T + t2[:3, 3]
+    all_tris = np.concatenate([base_p, world2.astype(np.float32)])
+
+    class SB:
+        tris = jnp.asarray(recs_of(all_tris))
+        tri_index = jnp.arange(all_tris.shape[0], dtype=jnp.int32)
+
+    o, d = random_rays(512, seed=11, spread=4.0, tris=all_tris)
+    t16, _, slot16, inst16 = tw16.closest_hit(S, o, d)
+    tb, _, slotb, _ = closest_hit_bruteforce(SB, o, d)
+    hit16 = np.asarray(slot16) >= 0
+    hitb = np.asarray(slotb) >= 0
+    assert (hit16 == hitb).mean() >= 0.99
+    both = hit16 & hitb
+    assert (
+        np.asarray(slot16)[both] == (np.asarray(slotb)[both] % 200)
+    ).mean() >= 0.99
+    rel = np.abs(np.asarray(t16)[both] - np.asarray(tb)[both]) / np.maximum(
+        np.asarray(tb)[both], 1e-3)
+    assert np.quantile(rel, 0.98) < 5e-3
+    assert set(np.unique(np.asarray(inst16)[both])) <= {0, 1}
+
+
+def test_wide16_fused_film_matches_wide8():
+    """The production fused integrator converges to the same image on
+    wide16 as on wide8.  The comparison is statistical, not bitwise: the
+    per-lane RNG advances once per *transition* and transition timing
+    depends on tree shape, so the two backends draw different (equally
+    valid) sample sequences — at 16 spp the cornell means agree to well
+    under 2% (measured 0.4% at 32 spp on TPU)."""
+    from unity_webgpu_pathtracer_tpu.config import RenderConfig
+    from unity_webgpu_pathtracer_tpu.models.cornell import cornell_box
+    from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    size = 64
+    scene, cam = cornell_box()
+    params = make_camera_params(width=size, height=size, **cam)
+    films = {}
+    for trav in ("wide8", "wide16"):
+        config = RenderConfig(
+            width=size, height=size, samples_per_pass=16, max_bounces=3,
+            traversal=trav, sky_mode=2, integrator="fused", pool_size=4096,
+        )
+        sd = scene.build(trav)
+        film, occ, rays, _ = fused_pass_with_stats(
+            sd, config, params, np.uint32(0), pool_size=4096)
+        films[trav] = np.asarray(film).reshape(size, size, 3) / 16.0
+        assert np.isfinite(films[trav]).all()
+    a, b = films["wide8"], films["wide16"]
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.02
+    # Pixelwise: most pixels agree within MC noise at 16 spp.
+    close = np.isclose(a, b, rtol=0.25, atol=0.05).all(axis=-1)
+    assert close.mean() > 0.90, f"only {close.mean():.3f} pixels match"

@@ -1,0 +1,425 @@
+"""16-wide quantized BVH ("wide16") — round-3 production traversal format.
+
+Same design as :mod:`accel.wide8` (CWBVH-style quantized children,
+per-lane register stacks, ``tiny_bvh.h:5909-5931`` format lineage) but
+doubled on both axes the round-3 gather matrix identified as FREE on this
+chip (experiments/round3_gather.py): a 384-byte row gathers at the same
+~17 ns/row as a 192-byte row, so
+
+* **16 children per inner node** — the tree is one level shallower per
+  descent and sibling culling tests 16 boxes per gather (slab math rides
+  the VPU, which is effectively free at these batch sizes);
+* **16 triangles per leaf row** — half the leaf arrivals of wide8 at the
+  same per-arrival price.
+
+Fewer arrivals per ray is the whole game: arrivals are gather-latency
+bound and dominate the fused integrator's cost profile
+(docs/PERFORMANCE.md round-3 section).
+
+Child-visit order is **true nearest-first**: the traversal picks the hit
+child with the smallest slab entry t (argmin over the 16 lanes) instead of
+wide8's octant-slot approximation, so the builder assigns slots in plain
+surface-area order with no octant coding.
+
+Row layout, unified ``(N, 96)`` float32 (ints bitcast). ``f[3]`` is the
+row kind ``meta``: 0 = inner, 1..16 = leaf triangle count, <0 = TLAS
+instance ``-(id+1)``.
+
+====== ============================== ========================== ==================
+floats  inner                          leaf                       instance
+====== ============================== ========================== ==================
+0:3     anchor (node AABB min)         anchor (leaf AABB min)     unused
+3       meta = 0                       meta = count               meta = -(id+1)
+4       exps ``ex|ey<<8|ez<<16``       tri f16 SoA (72 floats:    world→local 3x4
+5:8     unused                         9 comps x 16 lanes, v0     (4:16)
+8:32    q8 boxes ``[qlox·16|qloy·16|   anchor-relative, 4:76)     blas root (16)
+        qloz·16|qhix·16|qhiy·16|
+        qhiz·16]``
+32:48   child row ptrs (int, -1 empty) attr idx x16 (76:92, -1)
+====== ============================== ========================== ==================
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from unity_webgpu_pathtracer_tpu.accel.bvh2 import BVH2, build_bvh2
+from unity_webgpu_pathtracer_tpu.accel.wide8 import _f32, _subtree_ranges
+
+ROW = 96
+WIDTH = 16
+MAX_LEAF = 16
+MAX_DEPTH = 20   # traversal stack entries; build asserts depth < this
+
+OFF_META = 3
+OFF_EXPS = 4
+OFF_QBOX = 8     # 24 floats: 96 bytes comp-major
+OFF_PTRS = 32    # 16 ints
+OFF_TRIS = 4     # 72 floats: 9 comps x 16 f16
+OFF_IDX = 76     # 16 ints
+OFF_W2L = 4
+OFF_BLAS = 16
+
+
+def _collapse16(bvh: BVH2, node: int, counts: np.ndarray) -> list[int]:
+    """Greedy 2-wide -> up-to-16-wide collapse: repeatedly expand the child
+    with the largest surface area; subtrees with <= MAX_LEAF triangles stay
+    whole (they become one leaf row)."""
+
+    def area(c):
+        d = np.maximum(bvh.nmax[c] - bvh.nmin[c], 0.0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    l = bvh.left[node]
+    kids = [l, l + 1]
+    while len(kids) < WIDTH:
+        expandable = [
+            (area(c), i)
+            for i, c in enumerate(kids)
+            if bvh.left[c] >= 0 and counts[c] > MAX_LEAF
+        ]
+        if not expandable:
+            break
+        _, i = max(expandable)
+        c = kids.pop(i)
+        cl = bvh.left[c]
+        kids.extend([cl, cl + 1])
+    return kids
+
+
+def _pack_u8(vals: np.ndarray) -> np.ndarray:
+    """(4k,) uint8 -> (k,) float32 (little-endian byte packing)."""
+    b = np.asarray(vals, np.uint8).reshape(-1, 4)
+    words = (
+        b[:, 0].astype(np.uint32)
+        | (b[:, 1].astype(np.uint32) << 8)
+        | (b[:, 2].astype(np.uint32) << 16)
+        | (b[:, 3].astype(np.uint32) << 24)
+    )
+    return words.view(np.int32).view(np.float32)
+
+
+def _pack_f16(vals: np.ndarray) -> np.ndarray:
+    """(2k,) float -> (k,) float32 carrying packed float16."""
+    h = np.asarray(vals, np.float16).view(np.uint16).reshape(-1, 2)
+    words = h[:, 0].astype(np.uint32) | (h[:, 1].astype(np.uint32) << 16)
+    return words.view(np.int32).view(np.float32)
+
+
+def _quantize_node(row: np.ndarray, nmin: np.ndarray, nmax: np.ndarray,
+                   boxes: list):
+    """Write anchor + exponents + conservative 8-bit child boxes (same
+    conservative power-of-two scale scheme as wide8)."""
+    anchor = np.asarray(nmin, np.float32)
+    extent = np.maximum(np.asarray(nmax, np.float32) - anchor, 0.0)
+    e = np.ceil(np.log2(np.maximum(extent / 255.0, 1e-30))).astype(np.int32)
+    e = np.clip(e, -126, 127)
+    scale = np.ldexp(np.ones(3, np.float32), e)
+    short = 255.0 * scale < extent
+    e = np.clip(e + short.astype(np.int32), -126, 127)
+    scale = np.ldexp(np.ones(3, np.float32), e)
+    row[0:3] = anchor
+    row[OFF_EXPS] = _f32(
+        int(e[0] + 127) | (int(e[1] + 127) << 8) | (int(e[2] + 127) << 16)
+    )
+    qlo = np.full((WIDTH, 3), 255, np.uint8)
+    qhi = np.zeros((WIDTH, 3), np.uint8)
+    for k, b in enumerate(boxes):
+        if b is None:
+            continue
+        lo, hi = b
+        ql = np.floor((np.asarray(lo, np.float32) - anchor) / scale)
+        qh = np.ceil((np.asarray(hi, np.float32) - anchor) / scale)
+        qlo[k] = np.clip(ql, 0, 255).astype(np.uint8)
+        qhi[k] = np.clip(qh, 0, 255).astype(np.uint8)
+    # comp-major: qlox·16, qloy·16, qloz·16, qhix·16, qhiy·16, qhiz·16
+    out = []
+    for arr in (qlo, qhi):
+        for c in range(3):
+            out.append(_pack_u8(arr[:, c]))
+    row[OFF_QBOX : OFF_QBOX + 24] = np.concatenate(out)
+
+
+def _leaf_row(row: np.ndarray, nmin, recs: np.ndarray, idx: np.ndarray):
+    """recs: (cnt, 9) [e2,e1,v0] float32; v0 stored anchor-relative f16."""
+    cnt = recs.shape[0]
+    anchor = np.asarray(nmin, np.float32)
+    row[0:3] = anchor
+    row[OFF_META] = _f32(cnt)
+    comps = np.zeros((9, WIDTH), np.float32)
+    comps[:, :cnt] = recs.T
+    comps[6:9, :cnt] -= anchor[:, None]          # v0 relative to anchor
+    packed = [_pack_f16(comps[c]) for c in range(9)]
+    row[OFF_TRIS : OFF_TRIS + 72] = np.concatenate(packed)
+    ints = np.full(WIDTH, -1, np.int32)
+    ints[:cnt] = idx
+    row[OFF_IDX : OFF_IDX + 16] = ints.view(np.float32)
+
+
+@dataclasses.dataclass
+class Wide16:
+    nodes: np.ndarray      # (N, 96) float32
+    depth: int             # max stack depth observed (pushes per path)
+    # Leaf rows index attributes by BVH-order position; the host permutes
+    # the attribute tables by `order`.
+    order: np.ndarray | None = None
+
+
+def build_wide16(bvh: BVH2, tri_records: np.ndarray,
+                 attr_index: np.ndarray) -> Wide16:
+    """Emit the quantized 16-wide table from a BVH2 (single mesh/scene)."""
+    starts, counts = _subtree_ranges(bvh)
+    rows: list[np.ndarray] = []
+    max_depth = 0
+
+    def sa(c):
+        d = np.maximum(bvh.nmax[c] - bvh.nmin[c], 0.0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    def emit_leaf(node: int) -> int:
+        my = len(rows)
+        row = np.zeros(ROW, np.float32)
+        rows.append(row)
+        lo, cnt = int(starts[node]), int(counts[node])
+        sel = bvh.order[lo : lo + cnt]
+        _leaf_row(row, bvh.nmin[node], tri_records[sel],
+                  attr_index[lo : lo + cnt])
+        return my
+
+    def emit(node: int, depth: int) -> int:
+        nonlocal max_depth
+        max_depth = max(max_depth, depth)
+        if counts[node] <= MAX_LEAF:
+            return emit_leaf(node)
+        my = len(rows)
+        row = np.zeros(ROW, np.float32)
+        rows.append(row)
+        kids = _collapse16(bvh, node, counts)
+        # Nearest-first ordering is computed at runtime from slab-entry t,
+        # so slots carry no octant code — plain surface-area order.
+        slots = sorted(kids, key=sa, reverse=True) + [None] * (WIDTH - len(kids))
+        boxes = [
+            None if c is None else (bvh.nmin[c], bvh.nmax[c]) for c in slots
+        ]
+        _quantize_node(row, bvh.nmin[node], bvh.nmax[node], boxes)
+        ptrs = np.full(WIDTH, -1, np.int32)
+        for k, c in enumerate(slots):
+            if c is not None:
+                ptrs[k] = emit(c, depth + 1)
+        row[OFF_PTRS : OFF_PTRS + 16] = ptrs.view(np.float32)
+        return my
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 100000))
+    try:
+        emit(0, 1)
+    finally:
+        sys.setrecursionlimit(old)
+    assert max_depth < MAX_DEPTH, f"tree depth {max_depth} >= {MAX_DEPTH}"
+    return Wide16(nodes=np.stack(rows), depth=max_depth,
+                  order=np.array(bvh.order, np.int32))
+
+
+def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
+                       leaf_size: int = 4) -> Wide16:
+    from unity_webgpu_pathtracer_tpu.accel.native import native_wide16_or_none
+
+    native = native_wide16_or_none(positions, tri_records, leaf_size)
+    if native is not None:
+        rows, depth, order = native
+        assert depth < MAX_DEPTH, f"tree depth {depth} >= {MAX_DEPTH}"
+        return Wide16(nodes=rows, depth=depth, order=order)
+    bvh = build_bvh2(positions, leaf_size=leaf_size)
+    attr_index = np.arange(positions.shape[0], dtype=np.int32)
+    return build_wide16(bvh, tri_records, attr_index)
+
+
+# ---------------------------------------------------------------------- TLAS
+def emit_tlas_rows16(instances, blas_bounds, blas_root: dict, tlas_cap: int):
+    """Emit the 16-wide TLAS rows, zero-padded to ``tlas_cap``.
+    Returns (rows, depth, l2w, w2l). Mirrors wide8's
+    ``emit_tlas_rows`` (reference role: ``BVHScene.cs:671-757``)."""
+    ni = len(instances)
+    inst_aabb_min = np.zeros((ni, 3), np.float32)
+    inst_aabb_max = np.zeros((ni, 3), np.float32)
+    l2w = np.zeros((ni, 12), np.float32)
+    w2l = np.zeros((ni, 12), np.float32)
+    for i, (mesh_id, transform, _mat) in enumerate(instances):
+        t = np.asarray(transform, np.float32).reshape(4, 4)
+        lo, hi = blas_bounds[mesh_id]
+        corners = np.array(
+            [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+             for z in (lo[2], hi[2])], np.float32)
+        wc = corners @ t[:3, :3].T + t[:3, 3]
+        inst_aabb_min[i] = wc.min(0)
+        inst_aabb_max[i] = wc.max(0)
+        l2w[i] = t[:3, :4].reshape(-1)
+        w2l[i] = np.linalg.inv(t)[:3, :4].reshape(-1)
+
+    fake_tris = np.stack(
+        [inst_aabb_min, inst_aabb_max, (inst_aabb_min + inst_aabb_max) * 0.5],
+        axis=1,
+    )
+    tb = build_bvh2(fake_tris, leaf_size=1)
+    starts, counts = _subtree_ranges(tb)
+
+    rows: list[np.ndarray] = []
+    max_depth = [0]
+
+    def emit_inst(inst_i: int) -> int:
+        my = len(rows)
+        row = np.zeros(ROW, np.float32)
+        rows.append(row)
+        mesh_id = instances[inst_i][0]
+        row[OFF_META] = _f32(-(inst_i + 1))
+        row[OFF_W2L : OFF_W2L + 12] = w2l[inst_i]
+        row[OFF_BLAS] = _f32(blas_root[mesh_id])
+        return my
+
+    def sa(c):
+        d = np.maximum(tb.nmax[c] - tb.nmin[c], 0.0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    def emit(node: int, depth: int) -> int:
+        max_depth[0] = max(max_depth[0], depth)
+        if counts[node] == 1:
+            return emit_inst(int(tb.order[starts[node]]))
+        my = len(rows)
+        row = np.zeros(ROW, np.float32)
+        rows.append(row)
+        kids = _collapse16(tb, node, counts)
+        # Every instance needs its own row: expand inner children fully
+        # while slots remain.
+        changed = True
+        while changed:
+            changed = False
+            for i, c in enumerate(list(kids)):
+                if tb.left[c] >= 0 and len(kids) < WIDTH:
+                    kids.pop(i)
+                    kids.extend([tb.left[c], tb.left[c] + 1])
+                    changed = True
+                    break
+        slots = sorted(kids, key=sa, reverse=True) + [None] * (WIDTH - len(kids))
+        boxes = [None if c is None else (tb.nmin[c], tb.nmax[c]) for c in slots]
+        _quantize_node(row, tb.nmin[node], tb.nmax[node], boxes)
+        ptrs = np.full(WIDTH, -1, np.int32)
+        for k, c in enumerate(slots):
+            if c is not None:
+                ptrs[k] = emit(c, depth + 1)
+        row[OFF_PTRS : OFF_PTRS + 16] = ptrs.view(np.float32)
+        return my
+
+    emit(0, 1)
+    assert len(rows) <= tlas_cap, f"TLAS rows {len(rows)} > cap {tlas_cap}"
+    out = np.zeros((tlas_cap, ROW), np.float32)
+    out[: len(rows)] = np.stack(rows)
+    return out, max_depth[0], l2w, w2l
+
+
+def build_tlas_wide16(blas: list, blas_bounds, instances,
+                      attr_bases: list[int] | None = None):
+    """Two-level unified table (16-wide TLAS over instance AABBs, BLAS
+    tables rebased at immutable offsets after it — transform-only updates
+    re-emit only the TLAS rows, as in wide8). Returns
+    ``(Wide16, l2w, w2l, TlasLayout)``."""
+    from unity_webgpu_pathtracer_tpu.accel.wide8 import TlasLayout, tlas_capacity
+
+    cap = tlas_capacity(len(instances))
+    ref_meshes = []
+    for mesh_id, _t, _m in instances:
+        if mesh_id not in ref_meshes:
+            ref_meshes.append(mesh_id)
+    blas_root: dict[int, int] = {}
+    offset = cap
+    blas_depth = 0
+    tables = []
+    for mesh_id in ref_meshes:
+        t = np.array(blas[mesh_id].nodes)
+        meta = t[:, OFF_META].view(np.int32)
+        inner = meta == 0
+        ptrs = t[:, OFF_PTRS : OFF_PTRS + 16].view(np.int32)
+        ptrs[inner] = np.where(ptrs[inner] >= 0, ptrs[inner] + offset, -1)
+        t[:, OFF_PTRS : OFF_PTRS + 16] = ptrs.view(np.float32)
+        if attr_bases is not None:
+            idx = t[:, OFF_IDX : OFF_IDX + 16].view(np.int32)
+            leaf = meta > 0
+            idx[leaf] = np.where(
+                idx[leaf] >= 0, idx[leaf] + attr_bases[mesh_id], -1
+            )
+            t[:, OFF_IDX : OFF_IDX + 16] = idx.view(np.float32)
+        blas_root[mesh_id] = offset
+        blas_depth = max(blas_depth, blas[mesh_id].depth)
+        tables.append(t)
+        offset += t.shape[0]
+
+    tlas_rows, tdepth, l2w, w2l = emit_tlas_rows16(
+        instances, blas_bounds, blas_root, cap)
+    nodes = np.concatenate([tlas_rows] + tables, axis=0)
+    depth = tdepth + blas_depth + 1
+    assert depth < MAX_DEPTH, f"TLAS+BLAS depth {depth} >= {MAX_DEPTH}"
+    layout = TlasLayout(tlas_cap=cap, blas_root=blas_root,
+                        blas_depth=blas_depth)
+    return Wide16(nodes=nodes, depth=depth), l2w, w2l, layout
+
+
+# ----------------------------------------------------------------- validation
+def decode_leaf_tris(row: np.ndarray):
+    """Host-side decode of one leaf row -> (cnt, recs (cnt,9), idx (cnt,))."""
+    cnt = int(row[OFF_META : OFF_META + 1].view(np.int32)[0])
+    words = row[OFF_TRIS : OFF_TRIS + 72].view(np.uint32).reshape(9, 8)
+    halves = np.stack(
+        [(words & 0xFFFF).astype(np.uint16), (words >> 16).astype(np.uint16)],
+        axis=-1,
+    ).reshape(9, WIDTH)
+    comps = halves.view(np.float16).astype(np.float32)
+    comps[6:9] += row[0:3][:, None]
+    idx = row[OFF_IDX : OFF_IDX + 16].view(np.int32)
+    return cnt, comps[:, :cnt].T, idx[:cnt]
+
+
+def validate_wide16(w: Wide16, tri_count: int):
+    """Leaf coverage, quantized containment, stack-depth bound."""
+    nodes = w.nodes
+    meta = nodes[:, OFF_META].view(np.int32)
+    seen = np.zeros(tri_count, np.int32)
+    stack = [0]
+    while stack:
+        r = stack.pop()
+        m = meta[r]
+        if m > 0:
+            cnt, _recs, idx = decode_leaf_tris(nodes[r])
+            seen[idx] += 1
+        elif m < 0:
+            blas = int(nodes[r, OFF_BLAS].view(np.int32))
+            stack.append(blas)
+        else:
+            anchor = nodes[r, 0:3]
+            e = int(nodes[r, OFF_EXPS : OFF_EXPS + 1].view(np.int32)[0])
+            ex = np.array([e & 255, (e >> 8) & 255, (e >> 16) & 255]) - 127
+            scale = np.ldexp(np.ones(3, np.float32), ex)
+            qb = nodes[r, OFF_QBOX : OFF_QBOX + 24].view(np.uint8).reshape(6, 16)
+            ptrs = nodes[r, OFF_PTRS : OFF_PTRS + 16].view(np.int32)
+            for k in range(WIDTH):
+                if ptrs[k] < 0:
+                    continue
+                lo = anchor + qb[0:3, k] * scale
+                hi = anchor + qb[3:6, k] * scale
+                child = ptrs[k]
+                cm = meta[child]
+                if cm > 0:
+                    _cnt, recs, _idx = decode_leaf_tris(nodes[child])
+                    v0 = recs[:, 6:9]
+                    v1 = v0 + recs[:, 3:6]
+                    v2 = v0 + recs[:, 0:3]
+                    pts = np.concatenate([v0, v1, v2])
+                    assert (pts >= lo - 1e-2 - 1e-3 * np.abs(pts)).all(), \
+                        "leaf not contained"
+                    assert (pts <= hi + 1e-2 + 1e-3 * np.abs(pts)).all(), \
+                        "leaf not contained"
+                stack.append(child)
+    assert (seen == 1).all(), "leaf coverage broken"
+    assert w.depth < MAX_DEPTH

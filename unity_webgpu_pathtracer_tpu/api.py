@@ -67,22 +67,25 @@ class Renderer:
         """Move an instance; TLAS-only refresh + accumulation reset
         (``BVHScene.UpdateTLAS`` -> ``Reset``, PathTracer.cs:169-170).
 
-        On the wide8 backend only the fixed-capacity TLAS rows are re-emitted
-        and device-updated in place — cost independent of BLAS size, like the
-        reference's small per-frame TLAS upload (``BVHScene.cs:823-838``).
-        Other backends fall back to a full rebuild."""
+        On the wide8/wide16 backends only the fixed-capacity TLAS rows are
+        re-emitted and device-updated in place — cost independent of BLAS
+        size, like the reference's small per-frame TLAS upload
+        (``BVHScene.cs:823-838``). Other backends fall back to a full
+        rebuild."""
         host = self._require_host_scene()
         host.set_instance_transform(instance_id, transform)
-        if (self.config.traversal == "wide8"
-                and getattr(host, "_tlas8_layout", None) is not None):
+        fmt = self.config.traversal
+        if (fmt in ("wide8", "wide16")
+                and getattr(host, f"_tlas{fmt[4:]}_layout", None) is not None):
             from unity_webgpu_pathtracer_tpu.scene.scene import rebuild_tlas_rows
 
-            rows, l2w, w2l = rebuild_tlas_rows(host)
+            rows, l2w, w2l = rebuild_tlas_rows(host, fmt)
+            field = f"{fmt}_nodes"
+            nodes = getattr(self.scene, field)
             self.scene = self.scene._replace(
-                wide8_nodes=self.scene.wide8_nodes.at[: rows.shape[0]].set(
-                    jnp.asarray(rows)),
                 inst_l2w=jnp.asarray(l2w),
                 inst_w2l=jnp.asarray(w2l),
+                **{field: nodes.at[: rows.shape[0]].set(jnp.asarray(rows))},
             )
             self.reset()
             return

@@ -108,7 +108,7 @@ def main(argv=None):
     pr.add_argument("--integrator", default="megakernel",
                     choices=["megakernel", "wavefront", "fused"])
     pr.add_argument("--traversal", default="wide",
-                    choices=["bruteforce", "mbvh", "skip", "wide", "wide2", "wide8"])
+                    choices=["bruteforce", "mbvh", "skip", "wide", "wide2", "wide8", "wide16"])
     pr.add_argument("--env", help="HDRI .hdr environment map")
     pr.add_argument("--tonemap", default="aces", choices=list(TONEMAPS))
     pr.add_argument("--exposure", type=float, default=1.0)

@@ -74,7 +74,8 @@ class RenderConfig:
     # compiles without the lens sampling code, like Aperture==0 in-kernel.
     use_depth_of_field: bool = False
 
-    # Traversal backend: "bruteforce" | "bvh2" | "mbvh" | "skip" | "wide".
+    # Traversal backend: "bruteforce" | "bvh2" | "mbvh" | "skip" | "wide"
+    # | "wide2" | "wide8" | "wide16".
     traversal: str = "mbvh"
 
     # Octant-specialized DFS orders for the wide format (1 or 8): 8 orders

@@ -38,6 +38,10 @@ def get_intersectors(config):
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide8
 
         return traverse_wide8.closest_hit, traverse_wide8.occluded
+    if config.traversal == "wide16":
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide16
+
+        return traverse_wide16.closest_hit, traverse_wide16.occluded
     raise ValueError(f"unknown traversal backend {config.traversal!r}")
 
 

@@ -1,0 +1,323 @@
+"""16-wide quantized stack traversal (consumes ``accel.wide16``).
+
+Identical machinery to :mod:`ops.traverse_wide8` — one row gather per
+arrival, per-lane register stacks with revisit masks, direct-pointer pops,
+TLAS instance rows with the unnormalized-direction trick
+(``tlas.hlsl:131-135``) — with two round-3 upgrades:
+
+* **16 children / 16 leaf triangles per row** (384-byte rows): the gather
+  unit prices 384-byte rows the same ~17 ns/row as 192-byte rows
+  (experiments/round3_gather.py), so each arrival advances a ray twice as
+  far for the same cost; arrivals per ray drop accordingly.
+* **True nearest-first descent**: the next child is the hit child with the
+  smallest slab entry t (argmin over the 16 lanes — VPU-free), replacing
+  wide8's octant-slot approximation.  Reference analogue: CWBVH's ordered
+  nodeGroup extraction, ``util/bvh.hlsl:141-197``.
+
+Stack entries are (row, remaining-children mask) pairs held in TWO
+level-major (MAX_DEPTH, B) int32 planes — a 16-bit mask no longer packs
+next to a row index in one int32.  A mask of 0 marks a direct-pointer
+entry (single surviving child pushed as its own row pointer, skipping the
+parent re-gather on pop).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from unity_webgpu_pathtracer_tpu.accel.wide16 import MAX_DEPTH
+from unity_webgpu_pathtracer_tpu.ops.intersect import DET_EPS, T_MIN
+from unity_webgpu_pathtracer_tpu.utils.math import FAR_PLANE, safe_rcp
+
+DONE = -1
+FULL = 0xFFFF
+
+
+class Wide16State(NamedTuple):
+    ptr: jnp.ndarray       # (B,) int32 current row; DONE when finished
+    pend: jnp.ndarray      # (B,) int32 pending-children mask (FULL = fresh)
+    sp: jnp.ndarray        # (B,) int32 stack height
+    stack_row: jnp.ndarray   # (MAX_DEPTH, B) int32 row (or direct child ptr)
+    stack_mask: jnp.ndarray  # (MAX_DEPTH, B) int32 remaining mask (0 = direct)
+    t: jnp.ndarray         # (B,) best hit distance
+    u: jnp.ndarray
+    v: jnp.ndarray
+    tri: jnp.ndarray       # (B,) int32 attribute row of best hit (-1 none)
+    found: jnp.ndarray     # (B,) bool
+    inst: jnp.ndarray      # (B,) int32 current instance (-1 = world space)
+    hit_inst: jnp.ndarray  # (B,) int32 instance of the best hit
+    sp_enter: jnp.ndarray  # (B,) int32 stack height at instance entry
+    local_o: jnp.ndarray   # (B,3)
+    local_d: jnp.ndarray   # (B,3)
+    local_inv: jnp.ndarray # (B,3)
+
+
+def init_state16(b, t_max, ptr0: int = 0) -> Wide16State:
+    z3 = jnp.zeros((b, 3), jnp.float32)
+    return Wide16State(
+        ptr=jnp.full((b,), ptr0, jnp.int32),
+        pend=jnp.full((b,), FULL, jnp.int32),
+        sp=jnp.zeros((b,), jnp.int32),
+        stack_row=jnp.zeros((MAX_DEPTH, b), jnp.int32),
+        stack_mask=jnp.zeros((MAX_DEPTH, b), jnp.int32),
+        t=jnp.broadcast_to(t_max, (b,)).astype(jnp.float32),
+        u=jnp.zeros((b,), jnp.float32),
+        v=jnp.zeros((b,), jnp.float32),
+        tri=jnp.full((b,), -1, jnp.int32),
+        found=jnp.zeros((b,), bool),
+        inst=jnp.full((b,), -1, jnp.int32),
+        hit_inst=jnp.full((b,), -1, jnp.int32),
+        sp_enter=jnp.zeros((b,), jnp.int32),
+        local_o=z3,
+        local_d=z3,
+        local_inv=z3,
+    )
+
+
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def arrival_step16(nodes, o, d, inv, s: Wide16State, active=None,
+                   has_instances: bool = True) -> Wide16State:
+    """One arrival for every lane: gather the current row, process it by
+    kind (inner / leaf / instance), and advance ptr via descend or pop."""
+    b = s.ptr.shape[0]
+    live = s.ptr >= 0
+    if active is not None:
+        live = live & active
+    idx = jnp.where(live, s.ptr, 0)
+    row = nodes[idx]                                             # (B, 96)
+    meta = _i32(row[:, 3])
+    is_leaf = live & (meta > 0)
+    is_inst = live & (meta < 0)
+    is_inner = live & (meta == 0)
+
+    if has_instances:
+        in_blas = s.inst >= 0
+        o_ = jnp.where(in_blas[:, None], s.local_o, o)
+        d_ = jnp.where(in_blas[:, None], s.local_d, d)
+        inv_ = jnp.where(in_blas[:, None], s.local_inv, inv)
+    else:
+        o_, d_, inv_ = o, d, inv
+
+    anchor = row[:, 0:3]
+
+    # ---- inner: decode 16 quantized child boxes, slab-test, mask ----
+    eword = _i32(row[:, 4])
+    scale = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(
+                (((eword >> (8 * c)) & 0xFF) << 23), jnp.float32
+            )
+            for c in range(3)
+        ],
+        axis=-1,
+    )                                                            # (B, 3)
+    # Whole-slice bitcast + reshape (per-column extracts lower to strided
+    # slice-loops, ~1.5 ms each at B=262k — same rule as wide8).
+    qbytes = jax.lax.bitcast_convert_type(
+        row[:, 8:32], jnp.uint8).reshape(b, 96).astype(jnp.float32)
+    t_near = jnp.zeros((b, 16), jnp.float32)
+    t_far = jnp.broadcast_to(s.t[:, None], (b, 16))
+    for c in range(3):
+        qlo = qbytes[:, 16 * c : 16 * c + 16]
+        qhi = qbytes[:, 48 + 16 * c : 64 + 16 * c]
+        lo = anchor[:, c : c + 1] + qlo * scale[:, c : c + 1]
+        hi = anchor[:, c : c + 1] + qhi * scale[:, c : c + 1]
+        tl = (lo - o_[:, c : c + 1]) * inv_[:, c : c + 1]
+        th = (hi - o_[:, c : c + 1]) * inv_[:, c : c + 1]
+        t_near = jnp.maximum(t_near, jnp.minimum(tl, th))
+        t_far = jnp.minimum(t_far, jnp.maximum(tl, th))
+    ptrs = _i32(row[:, 32:48])                                   # (B, 16)
+    # Empty slots masked explicitly (inverted sentinel boxes test like full
+    # boxes under the symmetric min/max slab test); pend masks revisits.
+    pbits = (s.pend[:, None] >> jnp.arange(16, dtype=jnp.int32)[None, :]) & 1
+    hit = (t_near <= t_far) & (ptrs >= 0) & (pbits > 0)          # (B, 16)
+
+    # True nearest-first pick: argmin slab-entry t over hit children.
+    tn = jnp.where(hit, t_near, jnp.float32(jnp.inf))
+    first_slot = jnp.argmin(tn, axis=1).astype(jnp.int32)
+    found_child = is_inner & hit.any(axis=1)
+
+    onehot_first = jnp.arange(16, dtype=jnp.int32)[None, :] == first_slot[:, None]
+    child_ptr = jnp.sum(jnp.where(onehot_first, ptrs, 0), axis=1)
+    rembits = hit & ~onehot_first                                # (B, 16) bool
+    bits16 = (1 << jnp.arange(16, dtype=jnp.int32))[None, :]
+    remaining = jnp.sum(jnp.where(rembits, bits16, 0), axis=1)
+
+    # Push: several children remain -> (row, mask), popped as a revisit
+    # (re-gather + re-test against the improved t); exactly ONE remains ->
+    # its pointer directly with mask 0 (pop skips the parent re-gather).
+    push = found_child & (remaining > 0)
+    one_left = jnp.sum(rembits.astype(jnp.int32), axis=1) == 1
+    direct_ptr = jnp.sum(jnp.where(rembits, ptrs, 0), axis=1)
+    entry_row = jnp.where(one_left, direct_ptr, idx)
+    entry_mask = jnp.where(one_left, 0, remaining)
+    levels = jnp.arange(MAX_DEPTH, dtype=jnp.int32)[:, None]
+    at_top = (levels == s.sp[None, :]) & push[None, :]
+    stack_row = jnp.where(at_top, entry_row[None, :], s.stack_row)
+    stack_mask = jnp.where(at_top, entry_mask[None, :], s.stack_mask)
+    sp = s.sp + push.astype(jnp.int32)
+
+    # ---- leaf: decode f16 anchored triangle records, Möller-Trumbore ----
+    halves = jax.lax.bitcast_convert_type(
+        row[:, 4:76], jnp.float16).reshape(b, 144).astype(jnp.float32)
+    comp = [halves[:, 16 * c : 16 * c + 16] for c in range(9)]
+    e2x, e2y, e2z = comp[0], comp[1], comp[2]
+    e1x, e1y, e1z = comp[3], comp[4], comp[5]
+    v0x = comp[6] + anchor[:, 0:1]
+    v0y = comp[7] + anchor[:, 1:2]
+    v0z = comp[8] + anchor[:, 2:3]
+    dx, dy, dz = d_[:, 0:1], d_[:, 1:2], d_[:, 2:3]
+    ox, oy, oz = o_[:, 0:1], o_[:, 1:2], o_[:, 2:3]
+
+    rx = dy * e2z - dz * e2y
+    ry = dz * e2x - dx * e2z
+    rz = dx * e2y - dy * e2x
+    a = e1x * rx + e1y * ry + e1z * rz                           # (B, 16)
+    finv = 1.0 / jnp.where(jnp.abs(a) < DET_EPS, 1.0, a)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    uu = finv * (sx * rx + sy * ry + sz * rz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    vv = finv * (dx * qx + dy * qy + dz * qz)
+    tt = finv * (e2x * qx + e2y * qy + e2z * qz)
+    lanes = jnp.arange(16)
+    cnt = meta
+    valid = (
+        is_leaf[:, None]
+        & (lanes[None, :] < cnt[:, None])
+        & (jnp.abs(a) > DET_EPS)
+        & (uu >= 0.0) & (uu <= 1.0)
+        & (vv >= 0.0) & (uu + vv <= 1.0)
+        & (tt > T_MIN) & (tt < s.t[:, None])
+    )
+    tt = jnp.where(valid, tt, FAR_PLANE)
+    attrs = _i32(row[:, 76:92])
+    best = jnp.argmin(tt, axis=1)
+    onehot_b = jnp.arange(16, dtype=jnp.int32)[None, :] == best[:, None]
+    t_cand = jnp.sum(jnp.where(onehot_b, tt, 0.0), axis=1)
+    improved = t_cand < s.t
+    t_new = jnp.where(improved, t_cand, s.t)
+    u_new = jnp.where(improved, jnp.sum(jnp.where(onehot_b, uu, 0.0), axis=1), s.u)
+    v_new = jnp.where(improved, jnp.sum(jnp.where(onehot_b, vv, 0.0), axis=1), s.v)
+    tri_new = jnp.where(improved, jnp.sum(jnp.where(onehot_b, attrs, 0), axis=1), s.tri)
+    found_new = s.found | improved
+    hit_inst = jnp.where(improved, s.inst, s.hit_inst)
+
+    # ---- pop plumbing (shared by the instance and no-instance paths) ----
+    need_pop = (is_inner & ~found_child) | is_leaf
+    has = sp > 0
+    at_pop = levels == (sp - 1)[None, :]
+    top_row = jnp.sum(jnp.where(at_pop, stack_row, 0), axis=0)
+    top_mask = jnp.sum(jnp.where(at_pop, stack_mask, 0), axis=0)
+    pop_ptr = jnp.where(has, top_row, DONE)
+    pop_pend = jnp.where(top_mask == 0, FULL, top_mask)   # 0 = direct entry
+    sp_after = jnp.where(need_pop & has, sp - 1, sp)
+
+    if not has_instances:
+        new_ptr = jnp.where(found_child, child_ptr,
+                            jnp.where(need_pop, pop_ptr, s.ptr))
+        new_pend = jnp.where(found_child, FULL,
+                             jnp.where(need_pop, jnp.where(has, pop_pend, FULL),
+                                       s.pend))
+        return s._replace(
+            ptr=jnp.where(live, new_ptr, s.ptr),
+            pend=jnp.where(live, new_pend, s.pend),
+            sp=jnp.where(live, sp_after, s.sp),
+            stack_row=stack_row,
+            stack_mask=stack_mask,
+            t=t_new, u=u_new, v=v_new, tri=tri_new, found=found_new,
+        )
+
+    # ---- instance: enter instance space, jump to the BLAS root ----
+    inst_id = jnp.where(is_inst, -meta - 1, 0)
+    w2l = row[:, 4:16]
+    lo3 = jnp.stack(
+        [
+            w2l[:, 0] * o[:, 0] + w2l[:, 1] * o[:, 1] + w2l[:, 2] * o[:, 2] + w2l[:, 3],
+            w2l[:, 4] * o[:, 0] + w2l[:, 5] * o[:, 1] + w2l[:, 6] * o[:, 2] + w2l[:, 7],
+            w2l[:, 8] * o[:, 0] + w2l[:, 9] * o[:, 1] + w2l[:, 10] * o[:, 2] + w2l[:, 11],
+        ],
+        axis=-1,
+    )
+    ld3 = jnp.stack(
+        [
+            w2l[:, 0] * d[:, 0] + w2l[:, 1] * d[:, 1] + w2l[:, 2] * d[:, 2],
+            w2l[:, 4] * d[:, 0] + w2l[:, 5] * d[:, 1] + w2l[:, 6] * d[:, 2],
+            w2l[:, 8] * d[:, 0] + w2l[:, 9] * d[:, 1] + w2l[:, 10] * d[:, 2],
+        ],
+        axis=-1,
+    )
+    e3 = is_inst[:, None]
+    local_o = jnp.where(e3, lo3, s.local_o)
+    local_d = jnp.where(e3, ld3, s.local_d)
+    local_inv = jnp.where(e3, safe_rcp(ld3), s.local_inv)
+    inst = jnp.where(is_inst, inst_id, s.inst)
+    sp_enter = jnp.where(is_inst, sp, s.sp_enter)
+    blas_root = _i32(row[:, 16])
+
+    # Popping below the instance-entry height returns the lane to world
+    # space (all entries at or above it are BLAS-local).
+    exited = need_pop & (s.inst >= 0) & (sp_after < sp_enter)
+    inst = jnp.where(exited | (need_pop & ~has), -1, inst)
+
+    new_ptr = jnp.where(
+        is_inst, blas_root,
+        jnp.where(found_child, child_ptr,
+                  jnp.where(need_pop, pop_ptr, s.ptr)),
+    )
+    new_pend = jnp.where(
+        is_inst | found_child, FULL,
+        jnp.where(need_pop, jnp.where(has, pop_pend, FULL), s.pend),
+    )
+
+    return Wide16State(
+        ptr=jnp.where(live, new_ptr, s.ptr),
+        pend=jnp.where(live, new_pend, s.pend),
+        sp=jnp.where(live, sp_after, s.sp),
+        stack_row=stack_row,
+        stack_mask=stack_mask,
+        t=t_new, u=u_new, v=v_new, tri=tri_new, found=found_new,
+        inst=jnp.where(live, inst, s.inst),
+        hit_inst=hit_inst,
+        sp_enter=jnp.where(live, sp_enter, s.sp_enter),
+        local_o=local_o, local_d=local_d, local_inv=local_inv,
+    )
+
+
+def _traverse(scene, origins, directions, t_max, any_hit: bool):
+    b = origins.shape[0]
+    nodes = scene.wide16_nodes                                   # (N, 96)
+    inv = safe_rcp(directions)
+    init = init_state16(b, t_max)
+    has_inst = scene.inst_w2l.shape[0] > 0
+
+    def cond(s):
+        live = s.ptr >= 0
+        if any_hit:
+            live = live & ~s.found
+        return jnp.any(live)
+
+    def body(s):
+        active = None if not any_hit else ~s.found
+        return arrival_step16(nodes, origins, directions, inv, s, active,
+                              has_instances=has_inst)
+
+    return jax.lax.while_loop(cond, body, init)
+
+
+def closest_hit(scene, origins, directions):
+    """Returns ``(t, bary (B,2), attr_row, instance)``."""
+    s = _traverse(scene, origins, directions, jnp.float32(FAR_PLANE), False)
+    return s.t, jnp.stack([s.u, s.v], axis=-1), s.tri, s.hit_inst
+
+
+def occluded(scene, origins, directions, t_max):
+    s = _traverse(scene, origins, directions, t_max, True)
+    return s.found

@@ -127,6 +127,7 @@ def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
     """
     from unity_webgpu_pathtracer_tpu.ops.traverse_wide2 import Wide2State
     from unity_webgpu_pathtracer_tpu.ops.traverse_wide8 import Wide8State
+    from unity_webgpu_pathtracer_tpu.ops.traverse_wide16 import Wide16State
 
     m3 = mask[:, None]
     tr = s.trav
@@ -146,6 +147,11 @@ def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
     if isinstance(tr, Wide8State):
         trav = trav._replace(
             pend=jnp.where(mask, 0xFF, tr.pend),
+            sp=jnp.where(mask, 0, tr.sp),
+        )
+    if isinstance(tr, Wide16State):
+        trav = trav._replace(
+            pend=jnp.where(mask, 0xFFFF, tr.pend),
             sp=jnp.where(mask, 0, tr.sp),
         )
     return s._replace(
@@ -260,7 +266,12 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     sel_inst = jnp.where(a, s.trav.hit_inst, s.hit_inst)
 
     attr = jnp.maximum(sel_tri, 0)
-    shade_row = scene.attr_shade[attr]          # one gather: normals+uvs+mat
+    row3 = scene.attr_shade[attr // 3]          # one gather: 3 tris per row
+    sub = attr % 3                              # select this tri's 16 floats
+    shade_row = jnp.where(
+        (sub == 0)[:, None], row3[:, 0:16],
+        jnp.where((sub == 1)[:, None], row3[:, 16:32], row3[:, 32:48]),
+    )
     normal = normalize(_interp(sel_bary, shade_row[:, 0:9], 3))
     uv = _interp(sel_bary, shade_row[:, 9:15], 2)
     mat_idx = jax.lax.bitcast_convert_type(shade_row[:, 15], jnp.int32)
@@ -561,8 +572,15 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
     b = pool_size or config.pool_size or min(budget, 1 << 19)
     use_v2 = config.traversal == "wide2"
     use_v8 = config.traversal == "wide8"
+    use_v16 = config.traversal == "wide16"
 
-    if use_v8:
+    if use_v16:
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide16 as tw16
+
+        nodes16 = scene.wide16_nodes
+        entry = None
+        trav0 = tw16.init_state16(b, jnp.float32(0.0), ptr0=tw16.DONE)
+    elif use_v8:
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide8 as tw8
 
         nodes8 = scene.wide8_nodes
@@ -617,7 +635,15 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         inv = safe_rcp(s.trav_d)
         shadowing = (s.mode == MODE_SHADOW_ENV) | (s.mode == MODE_SHADOW_LIGHT)
         trav = s.trav
-        if use_v8:
+        if use_v16:
+            for _ in range(te):
+                active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
+                trav = tw16.arrival_step16(nodes16, s.trav_o, s.trav_d, inv,
+                                           trav, active,
+                                           has_instances=inst_w2l is not None)
+            stepping = (s.mode != MODE_DEAD) & (s.trav.ptr >= 0)
+            trav_done = trav.ptr < 0
+        elif use_v8:
             for _ in range(te):
                 active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
                 trav = tw8.arrival_step8(nodes8, s.trav_o, s.trav_d, inv,

@@ -29,11 +29,20 @@ def _z(*shape, dtype=jnp.float32):
 
 def _pack_attr_shade(normals9: np.ndarray, uvs6: np.ndarray,
                      material: np.ndarray) -> np.ndarray:
-    out = np.zeros((normals9.shape[0], 16), np.float32)
-    out[:, 0:9] = normals9
-    out[:, 9:15] = uvs6
-    out[:, 15] = material.astype(np.int32).view(np.float32)
-    return out
+    """Per-triangle shading rows [normals 9 | uvs 6 | material(int) 1],
+    grouped THREE triangles per 192-byte device row: the TPU gather unit
+    prices 64-byte rows at ~38 ns/row but 192-byte rows at ~18 ns/row
+    (experiments/round3_gather.py), so triangle ``t`` lives in row ``t//3``
+    at sub-slot ``t%3`` and the consumer selects the 16-float slice."""
+    t = normals9.shape[0]
+    flat = np.zeros((t, 16), np.float32)
+    flat[:, 0:9] = normals9
+    flat[:, 9:15] = uvs6
+    flat[:, 15] = material.astype(np.int32).view(np.float32)
+    rows = (t + 2) // 3
+    out = np.zeros((rows * 3, 16), np.float32)
+    out[:t] = flat
+    return out.reshape(rows, 48)
 
 
 class SceneData(NamedTuple):
@@ -57,11 +66,12 @@ class SceneData(NamedTuple):
     lights: jnp.ndarray          # (L, 16) float32
     env: EnvMap
 
-    # Packed per-triangle shading row [normals 9 | uvs 6 | material(int) 1]:
-    # the fused integrator's transitions fetch ONE row instead of three
-    # gathers from separate attribute tables (gather ops dominate, see
-    # docs/PERFORMANCE.md).
-    attr_shade: jnp.ndarray = _z(1, 16)       # (T, 16) float32
+    # Packed per-triangle shading rows [normals 9 | uvs 6 | material(int) 1]
+    # x3 triangles per row: the fused integrator's transitions fetch ONE
+    # 192-byte row instead of three separate gathers, and the 3-per-row
+    # grouping rides the gather unit's wide-row sweet spot (~18 vs ~38
+    # ns/row for 64-byte rows, experiments/round3_gather.py).
+    attr_shade: jnp.ndarray = _z(1, 48)       # (ceil(T/3), 48) float32
 
     # 8-wide MBVH (SoA): bounds laid out [lox·8, loy·8, loz·8, hix·8, hiy·8, hiz·8].
     bvh_bounds: jnp.ndarray = _z(1, 48)       # (N, 48) float32
@@ -79,6 +89,12 @@ class SceneData(NamedTuple):
     # the round-2 production format: ~2.4x smaller table and far fewer
     # arrivals per ray than the skip-chain formats.
     wide8_nodes: jnp.ndarray = _z(1, 48)      # (N8, 48) float32
+
+    # 16-wide quantized stack format (accel.wide16 / ops.traverse_wide16)
+    # — the round-3 production format: 384-byte rows gather at the same
+    # ~17 ns/row as 192-byte ones, so doubling node width and leaf count
+    # halves arrivals per ray for free (experiments/round3_gather.py).
+    wide16_nodes: jnp.ndarray = _z(1, 96)     # (N16, 96) float32
 
     # Split-table variant (accel.wide2 / ops.traverse_wide2): hot internal
     # rows + cold shared leaf rows + per-octant leaf continuations.
@@ -114,6 +130,8 @@ class Scene:
     _blas_cache: tuple | None = dataclasses.field(default=None, repr=False)
     _blas8_cache: tuple | None = dataclasses.field(default=None, repr=False)
     _tlas8_layout: object | None = dataclasses.field(default=None, repr=False)
+    _blas16_cache: tuple | None = dataclasses.field(default=None, repr=False)
+    _tlas16_layout: object | None = dataclasses.field(default=None, repr=False)
 
     def set_instance_transform(self, instance_id: int, transform: np.ndarray) -> None:
         """Move an instance (``Bounce.cs`` analogue); next build() reuses
@@ -163,9 +181,10 @@ class Scene:
         require ``traversal == "wide"``.
         """
         if self.instances:
-            if traversal not in ("wide", "wide2", "wide8"):
+            if traversal not in ("wide", "wide2", "wide8", "wide16"):
                 raise ValueError(
-                    "instanced scenes require traversal='wide', 'wide2' or 'wide8'")
+                    "instanced scenes require traversal='wide', 'wide2', "
+                    "'wide8' or 'wide16'")
             return self._build_instanced(traversal)
         flat = self.flatten()
         tris = flat.tri_records()
@@ -175,8 +194,27 @@ class Scene:
         skip = np.zeros((1, 1, 8), np.float32)
         wide = np.zeros((1, 1, 48), np.float32)
         wide8 = np.zeros((1, 48), np.float32)
+        wide16 = np.zeros((1, 96), np.float32)
         wide2 = None
-        if traversal == "wide8":
+        if traversal == "wide16":
+            from unity_webgpu_pathtracer_tpu.accel.wide16 import build_scene_wide16
+
+            w16 = build_scene_wide16(flat.positions, tris)
+            wide16 = w16.nodes
+            # Leaf rows index attributes by BVH-order position (same
+            # permutation contract as wide8 below).
+            order = w16.order
+            tris = tris[order]
+            flat = FlatTriangles(
+                positions=flat.positions[order],
+                normals=flat.normals[order],
+                tangents=flat.tangents[order],
+                uvs=flat.uvs[order],
+                material=flat.material[order],
+            )
+            bounds = np.zeros((1, 48), np.float32)
+            child = np.zeros((1, 8), np.int32)
+        elif traversal == "wide8":
             from unity_webgpu_pathtracer_tpu.accel.wide8 import build_scene_wide8
 
             w8 = build_scene_wide8(flat.positions, tris)
@@ -268,23 +306,41 @@ class Scene:
             skip_nodes=jnp.asarray(skip),
             wide_nodes=jnp.asarray(wide),
             wide8_nodes=jnp.asarray(wide8),
+            wide16_nodes=jnp.asarray(wide16),
             **extra,
         )
 
     # ------------------------------------------------------------------
     def _build_instanced_wide8(self) -> SceneData:
-        """Two-level wide8 build: cached per-mesh quantized BLASes + 8-wide
-        TLAS over instances, one unified device table."""
-        from unity_webgpu_pathtracer_tpu.accel.wide8 import build_scene_wide8, build_tlas_wide8
+        return self._build_instanced_quant("wide8")
+
+    def _build_instanced_wide16(self) -> SceneData:
+        return self._build_instanced_quant("wide16")
+
+    def _build_instanced_quant(self, fmt: str) -> SceneData:
+        """Two-level quantized build (wide8 or wide16): cached per-mesh
+        BLASes + a TLAS over instances, one unified device table."""
+        if fmt == "wide16":
+            from unity_webgpu_pathtracer_tpu.accel.wide16 import (
+                build_scene_wide16 as build_scene_quant,
+                build_tlas_wide16 as build_tlas_quant,
+            )
+            cache_attr, layout_attr = "_blas16_cache", "_tlas16_layout"
+        else:
+            from unity_webgpu_pathtracer_tpu.accel.wide8 import (
+                build_scene_wide8 as build_scene_quant,
+                build_tlas_wide8 as build_tlas_quant,
+            )
+            cache_attr, layout_attr = "_blas8_cache", "_tlas8_layout"
         from unity_webgpu_pathtracer_tpu.scene import lights as ulights_mod
 
-        if getattr(self, "_blas8_cache", None) is None:
+        if getattr(self, cache_attr, None) is None:
             blas, blas_bounds, parts, attr_bases = [], [], [], []
             attr_base = 0
             for mesh, _transform in self.meshes:
                 flat = flatten_mesh(mesh, None)
                 recs = flat.tri_records()
-                w8 = build_scene_wide8(flat.positions, recs)
+                w8 = build_scene_quant(flat.positions, recs)
                 blas.append(w8)
                 p = flat.positions.reshape(-1, 3)
                 blas_bounds.append((p.min(0), p.max(0)))
@@ -297,15 +353,15 @@ class Scene:
                     material=flat.material[o]))
                 attr_bases.append(attr_base)
                 attr_base += flat.count
-            self._blas8_cache = (blas, blas_bounds, parts, attr_bases)
-        blas, blas_bounds, parts, attr_bases = self._blas8_cache
+            setattr(self, cache_attr, (blas, blas_bounds, parts, attr_bases))
+        blas, blas_bounds, parts, attr_bases = getattr(self, cache_attr)
 
         flat_all = concat_flat(parts)
         m = flat_all.count
         instances = list(self.instances)
-        w8, inst_l2w, inst_w2l, layout = build_tlas_wide8(
+        w8, inst_l2w, inst_w2l, layout = build_tlas_quant(
             blas, blas_bounds, instances, attr_bases)
-        self._tlas8_layout = layout
+        setattr(self, layout_attr, layout)
         inst_offsets = np.zeros((len(instances), 4), np.int32)
         inst_offsets[:, 3] = [
             -1 if mat is None else mat for (_mid, _t, mat) in instances
@@ -332,10 +388,11 @@ class Scene:
             texture_data=jnp.asarray(atlas),
             lights=jnp.asarray(light_table),
             env=env,
-            wide8_nodes=jnp.asarray(w8.nodes),
             inst_l2w=jnp.asarray(inst_l2w),
             inst_w2l=jnp.asarray(inst_w2l),
             inst_offsets=jnp.asarray(inst_offsets),
+            **{("wide16_nodes" if fmt == "wide16" else "wide8_nodes"):
+               jnp.asarray(w8.nodes)},
         )
 
     # ------------------------------------------------------------------
@@ -425,20 +482,28 @@ class Scene:
         )
 
 
-def rebuild_tlas_rows(scene: "Scene"):
-    """Transform-only TLAS refresh for wide8 scenes: re-emits ONLY the
-    fixed-capacity TLAS section (cost independent of BLAS size — the
+def rebuild_tlas_rows(scene: "Scene", fmt: str = "wide8"):
+    """Transform-only TLAS refresh for wide8/wide16 scenes: re-emits ONLY
+    the fixed-capacity TLAS section (cost independent of BLAS size — the
     reference's per-frame path, ``BVHScene.cs:769-841``).
 
-    Returns ``(tlas_rows (cap,48), inst_l2w, inst_w2l)``; apply with
-    ``scene_data._replace(wide8_nodes=wide8_nodes.at[:cap].set(rows), ...)``.
+    Returns ``(tlas_rows (cap,R), inst_l2w, inst_w2l)``; apply with
+    ``scene_data._replace(<fmt>_nodes=<fmt>_nodes.at[:cap].set(rows), ...)``.
     """
-    from unity_webgpu_pathtracer_tpu.accel.wide8 import emit_tlas_rows
-
-    if scene._blas8_cache is None or scene._tlas8_layout is None:
-        raise ValueError("no cached wide8 two-level build; build('wide8') first")
-    _blas, blas_bounds, _parts, _attr_bases = scene._blas8_cache
-    layout = scene._tlas8_layout
-    rows, _depth, l2w, w2l = emit_tlas_rows(
+    if fmt == "wide16":
+        from unity_webgpu_pathtracer_tpu.accel.wide16 import (
+            emit_tlas_rows16 as emit_rows,
+        )
+        cache, layout = scene._blas16_cache, scene._tlas16_layout
+    else:
+        from unity_webgpu_pathtracer_tpu.accel.wide8 import (
+            emit_tlas_rows as emit_rows,
+        )
+        cache, layout = scene._blas8_cache, scene._tlas8_layout
+    if cache is None or layout is None:
+        raise ValueError(
+            f"no cached {fmt} two-level build; build({fmt!r}) first")
+    _blas, blas_bounds, _parts, _attr_bases = cache
+    rows, _depth, l2w, w2l = emit_rows(
         list(scene.instances), blas_bounds, layout.blas_root, layout.tlas_cap)
     return rows, l2w, w2l
