@@ -20,6 +20,7 @@ SECTION = sys.argv[1] if len(sys.argv) > 1 else "all"
 POOL = int(os.environ.get("PROBE_POOL", 1 << 18))
 TE = int(os.environ.get("PROBE_TE", 10))
 TRIS = int(os.environ.get("PROBE_TRIS", 1_000_000))
+TRAV = os.environ.get("PROBE_TRAV", "wide8")
 
 
 def timed(fn, *args, iters=8):
@@ -43,24 +44,30 @@ def build():
     scene, cam = million_triangle_scene(TRIS)
     config = RenderConfig(
         width=1920, height=1080, samples_per_pass=8, max_bounces=5,
-        traversal="wide8", sky_mode=SKY_MODE_ENVIRONMENT, integrator="fused",
+        traversal=TRAV, sky_mode=SKY_MODE_ENVIRONMENT, integrator="fused",
         pool_size=POOL, transition_every=TE,
     )
-    scene_data = scene.build("wide8")
+    scene_data = scene.build(TRAV)
     params = make_camera_params(width=1920, height=1080, **cam)
-    print(f"scene: {scene_data.wide8_nodes.shape[0]} rows "
-          f"({scene_data.wide8_nodes.nbytes/1e6:.0f} MB), pool {POOL}, te {TE}",
+    nd = scene_data.wide16_nodes if TRAV == "wide16" else scene_data.wide8_nodes
+    print(f"scene: {TRAV} {nd.shape[0]} rows "
+          f"({nd.nbytes/1e6:.0f} MB), pool {POOL}, te {TE}",
           file=sys.stderr)
     return scene_data, config, params
 
 
 def make_body(scene, config, params):
     """Replicates fused_pass_with_stats' loop body (wide8 path)."""
-    from unity_webgpu_pathtracer_tpu.ops import traverse_wide8 as tw8
     from unity_webgpu_pathtracer_tpu.render import fused as F
     from unity_webgpu_pathtracer_tpu.utils.math import safe_rcp
 
-    nodes8 = scene.wide8_nodes
+    if TRAV == "wide16":
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide16 as tw8
+        nodes8 = scene.wide16_nodes
+        tw8.arrival_step8 = tw8.arrival_step16
+    else:
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide8 as tw8
+        nodes8 = scene.wide8_nodes
     inst = scene.inst_w2l.shape[0] > 0
     budget = config.pixel_count() * config.samples_per_pass
 
@@ -92,8 +99,12 @@ def init_state(scene, config, params, warm_iters=40):
     z3 = jnp.zeros((b, 3), jnp.float32)
     zi = jnp.zeros((b,), jnp.int32)
     zf = jnp.zeros((b,), jnp.float32)
-    from unity_webgpu_pathtracer_tpu.ops import traverse_wide8 as tw8
-    trav0 = tw8.init_state8(b, jnp.float32(0.0), ptr0=tw8.DONE)
+    if TRAV == "wide16":
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide16 as tw
+        trav0 = tw.init_state16(b, jnp.float32(0.0), ptr0=tw.DONE)
+    else:
+        from unity_webgpu_pathtracer_tpu.ops import traverse_wide8 as tw
+        trav0 = tw.init_state8(b, jnp.float32(0.0), ptr0=tw.DONE)
     init = F.FusedState(
         mode=jnp.full((b,), F.MODE_DEAD, jnp.int32), trav=trav0,
         trav_o=z3, trav_d=z3.at[:, 2].set(1.0),
