@@ -1,0 +1,93 @@
+"""Full-pass config sweep: the artifact-free comparison harness.
+
+The short-window Delta(queue_head) metric (round4_trav_ab) is confounded by
+regeneration wave phase (deaths/iter oscillates for hundreds of
+iterations), so config choices are made here instead: each config renders a
+FULL 1080p pass (tail drain included) via the production
+fused_pass_with_stats, one warm pass then two timed, all in one process.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/round4_pass_sweep.py
+Env: SWEEP="trav:te:pool trav:te:pool ..." to override the matrix,
+     PROBE_TRIS, SWEEP_SPP (default 8).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+TRIS = int(os.environ.get("PROBE_TRIS", 1_000_000))
+SPP = int(os.environ.get("SWEEP_SPP", 8))
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from unity_webgpu_pathtracer_tpu.config import SKY_MODE_ENVIRONMENT, RenderConfig  # noqa: E402
+from unity_webgpu_pathtracer_tpu.models.benchmark import million_triangle_scene  # noqa: E402
+from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params  # noqa: E402
+from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats  # noqa: E402
+
+_CACHE = {}
+
+
+def run_pass(trav, te, pool, spp=SPP):
+    if "scene" not in _CACHE:
+        _CACHE["scene"] = million_triangle_scene(TRIS)
+    scene, cam = _CACHE["scene"]
+    if trav not in _CACHE:
+        _CACHE[trav] = scene.build(trav)
+    sd = _CACHE[trav]
+    config = RenderConfig(
+        width=1920, height=1080, samples_per_pass=spp, max_bounces=5,
+        traversal=trav, sky_mode=SKY_MODE_ENVIRONMENT,
+        has_environment_texture=True, use_russian_roulette=True,
+        integrator="fused", pool_size=pool, transition_every=te,
+    )
+    params = make_camera_params(width=1920, height=1080, **cam)
+
+    @jax.jit
+    def one_pass(sd, params):
+        film, occ, rays, arrivals = fused_pass_with_stats(
+            sd, config, params, 0, pool_size=pool)
+        return film.sum(), occ, rays, arrivals
+
+    t0 = time.perf_counter()
+    out = one_pass(sd, params)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = one_pass(sd, params)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    fsum, occ, rays, arrivals = (np.asarray(x) for x in out)
+    mrays = float(rays) / dt / 1e6
+    print(f"{trav:7s} te={te:2d} pool={pool>>10:4d}k spp={spp:2d}: "
+          f"{dt:6.2f} s/pass, {mrays:5.2f} Mrays/s, occ {float(occ):.3f}, "
+          f"arr/ray {float(arrivals)/max(float(rays),1):5.2f}, "
+          f"film {float(fsum):.5g} (compile {compile_s:.0f}s)", flush=True)
+    return mrays
+
+
+def main():
+    matrix = os.environ.get(
+        "SWEEP",
+        "wide16:5:262144 wide16:4:262144 wide16:5:524288 "
+        "wide16:6:262144 wide8:10:262144")
+    results = {}
+    for spec in matrix.split():
+        trav, te, pool = spec.split(":")
+        results[spec] = run_pass(trav, int(te), int(pool))
+    best = max(results, key=results.get)
+    print(f"\nbest: {best} ({results[best]:.2f} Mrays/s)")
+
+
+if __name__ == "__main__":
+    main()
