@@ -362,7 +362,7 @@ def build_tlas_wide16(blas: list, blas_bounds, instances,
     depth = tdepth + blas_depth + 1
     assert depth < MAX_DEPTH, f"TLAS+BLAS depth {depth} >= {MAX_DEPTH}"
     layout = TlasLayout(tlas_cap=cap, blas_root=blas_root,
-                        blas_depth=blas_depth)
+                        blas_depth=blas_depth, tlas_depth0=tdepth)
     return Wide16(nodes=nodes, depth=depth), l2w, w2l, layout
 
 

@@ -287,6 +287,7 @@ class TlasLayout:
     tlas_cap: int
     blas_root: dict          # mesh_id -> absolute root row
     blas_depth: int
+    tlas_depth0: int = 0     # TLAS depth at build time (stack was sized +4)
 
 
 def emit_tlas_rows(instances, blas_bounds, blas_root: dict, tlas_cap: int):
@@ -412,7 +413,7 @@ def build_tlas_wide8(blas: list[Wide8], blas_bounds, instances,
     depth = tdepth + blas_depth + 1
     assert depth < MAX_DEPTH, f"TLAS+BLAS depth {depth} >= {MAX_DEPTH}"
     layout = TlasLayout(tlas_cap=cap, blas_root=blas_root,
-                        blas_depth=blas_depth)
+                        blas_depth=blas_depth, tlas_depth0=tdepth)
     return Wide8(nodes=nodes, depth=depth), l2w, w2l, layout
 
 

@@ -55,14 +55,18 @@ class Wide16State(NamedTuple):
     local_inv: jnp.ndarray # (B,3)
 
 
-def init_state16(b, t_max, ptr0: int = 0) -> Wide16State:
+def init_state16(b, t_max, ptr0: int = 0,
+                 depth: int = MAX_DEPTH) -> Wide16State:
+    """``depth`` sizes the (D, B) stacks; pass the scene's actual tree
+    depth (``scene.stack_levels.shape[0]``) — every arrival reads/writes
+    all D planes, so the format cap costs ~2x over a real ~8-deep tree."""
     z3 = jnp.zeros((b, 3), jnp.float32)
     return Wide16State(
         ptr=jnp.full((b,), ptr0, jnp.int32),
         pend=jnp.full((b,), FULL, jnp.int32),
         sp=jnp.zeros((b,), jnp.int32),
-        stack_row=jnp.zeros((MAX_DEPTH, b), jnp.int32),
-        stack_mask=jnp.zeros((MAX_DEPTH, b), jnp.int32),
+        stack_row=jnp.zeros((depth, b), jnp.int32),
+        stack_mask=jnp.zeros((depth, b), jnp.int32),
         t=jnp.broadcast_to(t_max, (b,)).astype(jnp.float32),
         u=jnp.zeros((b,), jnp.float32),
         v=jnp.zeros((b,), jnp.float32),
@@ -157,7 +161,7 @@ def arrival_step16(nodes, o, d, inv, s: Wide16State, active=None,
     direct_ptr = jnp.sum(jnp.where(rembits, ptrs, 0), axis=1)
     entry_row = jnp.where(one_left, direct_ptr, idx)
     entry_mask = jnp.where(one_left, 0, remaining)
-    levels = jnp.arange(MAX_DEPTH, dtype=jnp.int32)[:, None]
+    levels = jnp.arange(s.stack_row.shape[0], dtype=jnp.int32)[:, None]
     at_top = (levels == s.sp[None, :]) & push[None, :]
     stack_row = jnp.where(at_top, entry_row[None, :], s.stack_row)
     stack_mask = jnp.where(at_top, entry_mask[None, :], s.stack_mask)
@@ -295,7 +299,8 @@ def _traverse(scene, origins, directions, t_max, any_hit: bool):
     b = origins.shape[0]
     nodes = scene.wide16_nodes                                   # (N, 96)
     inv = safe_rcp(directions)
-    init = init_state16(b, t_max)
+    lv = getattr(scene, "stack_levels", None)   # test FakeScenes lack it
+    init = init_state16(b, t_max, depth=MAX_DEPTH if lv is None else lv.shape[0])
     has_inst = scene.inst_w2l.shape[0] > 0
 
     def cond(s):

@@ -57,13 +57,16 @@ class Wide8State(NamedTuple):
     local_inv: jnp.ndarray # (B,3)
 
 
-def init_state8(b, t_max, ptr0: int = 0) -> Wide8State:
+def init_state8(b, t_max, ptr0: int = 0, depth: int = MAX_DEPTH) -> Wide8State:
+    """``depth`` sizes the (D, B) stack; pass the scene's actual tree depth
+    (``scene.stack_levels.shape[0]``) — every arrival reads/writes all D
+    planes, so the format cap (24) costs ~2x over a real ~11-deep tree."""
     z3 = jnp.zeros((b, 3), jnp.float32)
     return Wide8State(
         ptr=jnp.full((b,), ptr0, jnp.int32),
         pend=jnp.full((b,), 0xFF, jnp.int32),
         sp=jnp.zeros((b,), jnp.int32),
-        stack=jnp.zeros((MAX_DEPTH, b), jnp.int32),
+        stack=jnp.zeros((depth, b), jnp.int32),
         t=jnp.broadcast_to(t_max, (b,)).astype(jnp.float32),
         u=jnp.zeros((b,), jnp.float32),
         v=jnp.zeros((b,), jnp.float32),
@@ -202,7 +205,7 @@ def arrival_step8(nodes, o, d, inv, s: Wide8State, active=None,
     one_left = jnp.sum(iota8b, axis=1) == 1
     direct_ptr = jnp.sum(ptrs * iota8b, axis=1)
     entry = jnp.where(one_left, direct_ptr << 8, (idx << 8) | remaining)
-    levels = jnp.arange(MAX_DEPTH, dtype=jnp.int32)[:, None]
+    levels = jnp.arange(s.stack.shape[0], dtype=jnp.int32)[:, None]
     stack = jnp.where(
         (levels == s.sp[None, :]) & push[None, :], entry[None, :], s.stack
     )
@@ -347,7 +350,8 @@ def _traverse(scene, origins, directions, t_max, any_hit: bool):
     b = origins.shape[0]
     nodes = scene.wide8_nodes                                    # (N, 48)
     inv = safe_rcp(directions)
-    init = init_state8(b, t_max)
+    lv = getattr(scene, "stack_levels", None)   # test FakeScenes lack it
+    init = init_state8(b, t_max, depth=MAX_DEPTH if lv is None else lv.shape[0])
     has_inst = scene.inst_w2l.shape[0] > 0
 
     def cond(s):

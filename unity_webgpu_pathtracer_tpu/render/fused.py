@@ -464,11 +464,14 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         scale = jnp.where(lum > params.max_firefly_luminance,
                           params.max_firefly_luminance / jnp.maximum(lum, 1e-20), 1.0)
         rad_out = rad_out * scale[:, None]
-    # Film rows are shard-local; s.pixel is global.
+    # Film rows are shard-local; s.pixel is global. Lanes that did NOT die
+    # are routed one-past-the-end and dropped by the scatter (JAX's default
+    # out-of-bounds drop semantics): routing them to pixel 0 with a zero
+    # value instead serialized ~85% duplicate updates inside the scatter
+    # kernel — profiled at 10.5 ms of the 65 ms super-iteration
+    # (experiments/round4_profile.py).
     pix_local = s.pixel - jnp.asarray(shard[0], jnp.int32)
-    film = s.film.at[jnp.where(died, pix_local, 0)].add(
-        jnp.where(died[:, None], rad_out, 0.0)
-    )
+    film = s.film.at[jnp.where(died, pix_local, s.film.shape[0])].add(rad_out)
 
     # Continuing bounce: new primary ray (position comes from the unified
     # hit frame for both passthrough and BSDF continuation). A cap-exhausted
@@ -579,13 +582,15 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
 
         nodes16 = scene.wide16_nodes
         entry = None
-        trav0 = tw16.init_state16(b, jnp.float32(0.0), ptr0=tw16.DONE)
+        trav0 = tw16.init_state16(b, jnp.float32(0.0), ptr0=tw16.DONE,
+                                  depth=scene.stack_levels.shape[0])
     elif use_v8:
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide8 as tw8
 
         nodes8 = scene.wide8_nodes
         entry = None
-        trav0 = tw8.init_state8(b, jnp.float32(0.0), ptr0=tw8.DONE)
+        trav0 = tw8.init_state8(b, jnp.float32(0.0), ptr0=tw8.DONE,
+                                depth=scene.stack_levels.shape[0])
     elif use_v2:
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide2 as tw2
 

@@ -96,6 +96,13 @@ class SceneData(NamedTuple):
     # halves arrivals per ray for free (experiments/round3_gather.py).
     wide16_nodes: jnp.ndarray = _z(1, 96)     # (N16, 96) float32
 
+    # Stack planes the wide8/wide16 register-stack traversal needs for THIS
+    # scene: the SHAPE is the actual tree depth + margin (static), so the
+    # (D, B) stack arrays and their per-arrival top-reads scale with the
+    # real tree (~10-12 planes at 1M tris) instead of the format cap (24) —
+    # the fixed-cap top-read slice+reduce profiled 0.54 ms/arrival.
+    stack_levels: jnp.ndarray = _z(24, dtype=jnp.int32)
+
     # Split-table variant (accel.wide2 / ops.traverse_wide2): hot internal
     # rows + cold shared leaf rows + per-octant leaf continuations.
     wide2_inner: jnp.ndarray = _z(1, 1, 32)   # (O, Ni, 32) float32
@@ -196,11 +203,13 @@ class Scene:
         wide8 = np.zeros((1, 48), np.float32)
         wide16 = np.zeros((1, 96), np.float32)
         wide2 = None
+        stack_depth = 24
         if traversal == "wide16":
             from unity_webgpu_pathtracer_tpu.accel.wide16 import build_scene_wide16
 
             w16 = build_scene_wide16(flat.positions, tris)
             wide16 = w16.nodes
+            stack_depth = w16.depth + 1
             # Leaf rows index attributes by BVH-order position (same
             # permutation contract as wide8 below).
             order = w16.order
@@ -219,6 +228,7 @@ class Scene:
 
             w8 = build_scene_wide8(flat.positions, tris)
             wide8 = w8.nodes
+            stack_depth = w8.depth + 1
             # Leaf rows index attributes by BVH-order position: permute the
             # triangle records and attribute arrays (spatially adjacent
             # leaves then read adjacent attr rows — gather locality).
@@ -307,6 +317,7 @@ class Scene:
             wide_nodes=jnp.asarray(wide),
             wide8_nodes=jnp.asarray(wide8),
             wide16_nodes=jnp.asarray(wide16),
+            stack_levels=jnp.zeros((stack_depth,), jnp.int32),
             **extra,
         )
 
@@ -391,6 +402,10 @@ class Scene:
             inst_l2w=jnp.asarray(inst_l2w),
             inst_w2l=jnp.asarray(inst_w2l),
             inst_offsets=jnp.asarray(inst_offsets),
+            # +4 margin (vs +1 static): TLAS-only transform updates re-emit
+            # TLAS rows in place, and the rebuilt tree may deepen slightly
+            # without changing this static shape.
+            stack_levels=jnp.zeros((w8.depth + 4,), jnp.int32),
             **{("wide16_nodes" if fmt == "wide16" else "wide8_nodes"):
                jnp.asarray(w8.nodes)},
         )
@@ -504,6 +519,13 @@ def rebuild_tlas_rows(scene: "Scene", fmt: str = "wide8"):
         raise ValueError(
             f"no cached {fmt} two-level build; build({fmt!r}) first")
     _blas, blas_bounds, _parts, _attr_bases = cache
-    rows, _depth, l2w, w2l = emit_rows(
+    rows, tdepth, l2w, w2l = emit_rows(
         list(scene.instances), blas_bounds, layout.blas_root, layout.tlas_cap)
+    # The device stack was sized at build time (build depth + 4 planes of
+    # margin); a transform change must not deepen the TLAS past it.
+    if tdepth > layout.tlas_depth0 + 3:
+        raise ValueError(
+            f"TLAS deepened past the allocated traversal stack "
+            f"(depth {tdepth} > {layout.tlas_depth0} + 3 margin); "
+            f"rebuild the scene")
     return rows, l2w, w2l
