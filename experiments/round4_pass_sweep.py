@@ -35,7 +35,7 @@ from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats  # no
 _CACHE = {}
 
 
-def run_pass(trav, te, pool, spp=SPP):
+def run_pass(trav, te, pool, spp=SPP, pre=True):
     if "scene" not in _CACHE:
         _CACHE["scene"] = million_triangle_scene(TRIS)
     scene, cam = _CACHE["scene"]
@@ -47,6 +47,7 @@ def run_pass(trav, te, pool, spp=SPP):
         traversal=trav, sky_mode=SKY_MODE_ENVIRONMENT,
         has_environment_texture=True, use_russian_roulette=True,
         integrator="fused", pool_size=pool, transition_every=te,
+        use_prestep=pre,
     )
     params = make_camera_params(width=1920, height=1080, **cam)
 
@@ -56,20 +57,27 @@ def run_pass(trav, te, pool, spp=SPP):
             sd, config, params, 0, pool_size=pool)
         return film.sum(), occ, rays, arrivals
 
+    import dataclasses as _dc
+
+    def with_seed(i):
+        # identical repeat executions can be replay-cached on this platform
+        # (a literal 0.0002 s "pass" was observed); vary the seed per call.
+        return _dc.replace(params, seed_root=jnp.uint32(0x9E3779B9 + i))
+
     t0 = time.perf_counter()
-    out = one_pass(sd, params)
+    out = one_pass(sd, with_seed(0))
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
     times = []
-    for _ in range(2):
+    for i in range(1, 3):
         t0 = time.perf_counter()
-        out = one_pass(sd, params)
+        out = one_pass(sd, with_seed(i))
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     fsum, occ, rays, arrivals = (np.asarray(x) for x in out)
     mrays = float(rays) / dt / 1e6
-    print(f"{trav:7s} te={te:2d} pool={pool>>10:4d}k spp={spp:2d}: "
+    print(f"{trav:7s} te={te:2d} pool={pool>>10:4d}k spp={spp:2d} pre={int(pre)}: "
           f"{dt:6.2f} s/pass, {mrays:5.2f} Mrays/s, occ {float(occ):.3f}, "
           f"arr/ray {float(arrivals)/max(float(rays),1):5.2f}, "
           f"film {float(fsum):.5g} (compile {compile_s:.0f}s)", flush=True)
@@ -83,8 +91,10 @@ def main():
         "wide16:6:262144 wide8:10:262144")
     results = {}
     for spec in matrix.split():
-        trav, te, pool = spec.split(":")
-        results[spec] = run_pass(trav, int(te), int(pool))
+        parts = spec.split(":")
+        trav, te, pool = parts[0], int(parts[1]), int(parts[2])
+        pre = bool(int(parts[3])) if len(parts) > 3 else True
+        results[spec] = run_pass(trav, te, pool, pre=pre)
     best = max(results, key=results.get)
     print(f"\nbest: {best} ({results[best]:.2f} Mrays/s)")
 

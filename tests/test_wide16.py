@@ -163,3 +163,71 @@ def test_wide16_fused_film_matches_wide8():
     # Pixelwise: most pixels agree within MC noise at 16 spp.
     close = np.isclose(a, b, rtol=0.25, atol=0.05).all(axis=-1)
     assert close.mean() > 0.90, f"only {close.mean():.3f} pixels match"
+
+
+def test_wide16_prestep_hits_bitwise_equal():
+    """The gather-free root prestep must not change traversal RESULTS:
+    closest hits after (prestep + arrivals) are bitwise identical to pure
+    arrivals — it replays arrival_step16's inner-node arithmetic on the
+    same values, only sourced from broadcast constants / the slot table.
+    (The fused FILM is not bitwise comparable: finishing segments in fewer
+    cadence periods shifts the per-lane RNG pairing — same estimator,
+    different equally-valid sample sequence; see the statistical check
+    below.)"""
+    import jax
+
+    from unity_webgpu_pathtracer_tpu.accel.wide16 import derive_top16
+    from unity_webgpu_pathtracer_tpu.utils.math import safe_rcp
+
+    tris = random_tris(3000, seed=11)
+    sc = FakeScene(tris)
+    top = derive_top16(sc.w16.nodes)
+    assert top is not None
+    o, d = random_rays(4096, seed=7)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    inv = safe_rcp(d)
+
+    base = tw16.closest_hit(sc, o, d)
+
+    s0 = tw16.init_state16(4096, jnp.float32(FAR_PLANE))
+    s0 = tw16.prestep16(sc.wide16_nodes, jnp.asarray(top), o, d, inv, s0,
+                        jnp.ones(4096, bool))
+
+    def cond(s):
+        return jnp.any(s.ptr >= 0)
+
+    def body(s):
+        return tw16.arrival_step16(sc.wide16_nodes, o, d, inv, s, None,
+                                   has_instances=False)
+
+    sf = jax.lax.while_loop(cond, body, s0)
+    for a, b, name in ((base[0], sf.t, "t"), (base[2], sf.tri, "tri")):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_wide16_prestep_film_statistical():
+    """Fused film with prestep on vs off: same estimator, shifted RNG
+    pairing -> means agree within MC noise."""
+    from unity_webgpu_pathtracer_tpu.config import RenderConfig
+    from unity_webgpu_pathtracer_tpu.models.cornell import cornell_box
+    from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    size = 48
+    scene, cam = cornell_box()
+    params = make_camera_params(width=size, height=size, **cam)
+    sd = scene.build("wide16")
+    assert sd.wide16_top.shape[0] == 16
+    films = {}
+    for pre in (True, False):
+        config = RenderConfig(
+            width=size, height=size, samples_per_pass=16, max_bounces=3,
+            traversal="wide16", sky_mode=2, integrator="fused",
+            pool_size=2048, use_prestep=pre,
+        )
+        film, _occ, _rays, _arr = fused_pass_with_stats(
+            sd, config, params, np.uint32(0), pool_size=2048)
+        films[pre] = np.asarray(film) / 16.0
+        assert np.isfinite(films[pre]).all()
+    a, b = films[True], films[False]
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.03

@@ -224,6 +224,45 @@ def build_wide16(bvh: BVH2, tri_records: np.ndarray,
                   order=np.array(bvh.order, np.int32))
 
 
+TOP_COLS = 119  # anchor 3 | scale 3 | qlo 48 | qhi 48 | ptrs 16 | meta 1
+
+
+def derive_top16(nodes: np.ndarray) -> np.ndarray | None:
+    """Decode the root's 16 child rows into a slot-indexed (16, 119) float
+    table for the gather-free traversal prestep (ops.traverse_wide16.
+    prestep16): [anchor 3 | scale 3 | qlo 48 | qhi 48 | ptrs 16 | meta 1],
+    all plain f32 values (ints exact below 2^24) so a select chain can
+    reassemble any slot's fields without bitcasts.  Returns None when the
+    root is not an inner node (tiny scenes).  Slots that are absent or not
+    inner get meta=1 so the prestep's level-2 never descends them."""
+    if nodes.shape[0] < 2 or int(nodes[0, OFF_META : OFF_META + 1].view(np.int32)[0]) != 0:
+        return None
+    if nodes.shape[0] >= (1 << 24):   # ptrs must stay exact as f32
+        return None
+    root_ptrs = nodes[0, OFF_PTRS : OFF_PTRS + 16].view(np.int32)
+    top = np.zeros((WIDTH, TOP_COLS), np.float32)
+    top[:, 118] = 1.0
+    for k in range(WIDTH):
+        p = int(root_ptrs[k])
+        if p < 0:
+            continue
+        row = nodes[p]
+        meta = int(row[OFF_META : OFF_META + 1].view(np.int32)[0])
+        top[k, 118] = float(meta)
+        if meta != 0:
+            continue
+        top[k, 0:3] = row[0:3]
+        eword = int(row[OFF_EXPS : OFF_EXPS + 1].view(np.int32)[0])
+        for c in range(3):
+            top[k, 3 + c] = np.ldexp(np.float32(1.0),
+                                     ((eword >> (8 * c)) & 0xFF) - 127)
+        qbytes = row[OFF_QBOX : OFF_QBOX + 24].view(np.uint8).astype(np.float32)
+        top[k, 6:54] = qbytes[:48]
+        top[k, 54:102] = qbytes[48:]
+        top[k, 102:118] = row[OFF_PTRS : OFF_PTRS + 16].view(np.int32)
+    return top
+
+
 def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
                        leaf_size: int = 4) -> Wide16:
     from unity_webgpu_pathtracer_tpu.accel.native import native_wide16_or_none

@@ -95,6 +95,12 @@ class RenderConfig:
     # a traversal segment idle until the next transition).
     transition_every: int = 4
 
+    # Gather-free first-arrival prestep for fresh ray segments (wide16):
+    # the root level (and, for non-instanced scenes, the second level) is
+    # descended from broadcast constants / a slot select chain instead of
+    # HBM row gathers (ops.traverse_wide16.prestep16).
+    use_prestep: bool = True
+
     dtype: Any = jnp.float32
 
     def pixel_count(self) -> int:

@@ -295,6 +295,112 @@ def arrival_step16(nodes, o, d, inv, s: Wide16State, active=None,
     )
 
 
+def prestep16(nodes, top, o, d, inv, s: Wide16State, mask) -> Wide16State:
+    """Gather-free first arrival(s) for fresh lanes.
+
+    Every ray segment — regenerated path, bounce continuation, NEE shadow
+    ray — starts its traversal at row 0, so the first one or two arrivals
+    of every segment fetch rows the whole pool shares.  This runs exactly
+    ``arrival_step16``'s inner-node logic for those levels without touching
+    HBM: level 1 slab-tests the root's children from the broadcast root row
+    (``nodes[0]``); level 2 reassembles the chosen child's decoded fields
+    from the slot-indexed host table ``top`` (``accel.wide16.derive_top16``)
+    with a 16-step select chain (bitwise-exact, fully fusable — a one-hot
+    MXU matmul is NOT bit-exact in f32 and a 16-row gather still pays the
+    per-row gather price).  Profiled arrivals cost ~3 ms of HBM gather each
+    at B=262k; these two cost VPU time only.
+
+    ``mask`` must select only fresh lanes (ptr==0, pend==FULL, sp==0,
+    world space).  Lanes whose root is not an inner node are left alone.
+    Level 2 is skipped statically when ``top`` is a placeholder (shape
+    (1, _)), e.g. for instanced scenes whose TLAS can be refreshed in
+    place.
+    """
+    b = s.ptr.shape[0]
+    bits16 = (1 << jnp.arange(16, dtype=jnp.int32))[None, :]
+    iota16 = jnp.arange(16, dtype=jnp.int32)[None, :]
+    levels = jnp.arange(s.stack_row.shape[0], dtype=jnp.int32)[:, None]
+
+    # ---- level 1: the root row, broadcast ----
+    row0 = nodes[0]
+    mask = mask & (_i32(row0[3]) == 0)
+    anchor0 = row0[0:3]
+    eword0 = _i32(row0[4])
+    qb0 = jax.lax.bitcast_convert_type(
+        row0[8:32], jnp.uint8).reshape(96).astype(jnp.float32)
+    ptrs0 = _i32(row0[32:48])[None, :]                           # (1, 16)
+
+    def slab(anchor, scale, qlo, qhi, t_cap):
+        t_near = jnp.zeros((b, 16), jnp.float32)
+        t_far = jnp.broadcast_to(t_cap[:, None], (b, 16))
+        for c in range(3):
+            lo = anchor[..., c : c + 1] + qlo[..., 16 * c : 16 * c + 16] * scale[..., c : c + 1]
+            hi = anchor[..., c : c + 1] + qhi[..., 16 * c : 16 * c + 16] * scale[..., c : c + 1]
+            tl = (lo - o[:, c : c + 1]) * inv[:, c : c + 1]
+            th = (hi - o[:, c : c + 1]) * inv[:, c : c + 1]
+            t_near = jnp.maximum(t_near, jnp.minimum(tl, th))
+            t_far = jnp.minimum(t_far, jnp.maximum(tl, th))
+        return t_near, t_far
+
+    scale0 = jnp.stack(
+        [jax.lax.bitcast_convert_type((((eword0 >> (8 * c)) & 0xFF) << 23),
+                                      jnp.float32) for c in range(3)])
+    t_near, t_far = slab(anchor0[None, :], scale0[None, :],
+                         qb0[None, :48], qb0[None, 48:], s.t)
+    hit = (t_near <= t_far) & (ptrs0 >= 0)
+    tn = jnp.where(hit, t_near, jnp.float32(jnp.inf))
+    slot1 = jnp.argmin(tn, axis=1).astype(jnp.int32)
+    found1 = mask & hit.any(axis=1)
+    onehot1 = iota16 == slot1[:, None]
+    child_ptr = jnp.sum(jnp.where(onehot1, ptrs0, 0), axis=1)
+    rembits = hit & ~onehot1
+    remaining = jnp.sum(jnp.where(rembits, bits16, 0), axis=1)
+    push1 = found1 & (remaining > 0)
+    one_left = jnp.sum(rembits.astype(jnp.int32), axis=1) == 1
+    direct_ptr = jnp.sum(jnp.where(rembits, ptrs0, 0), axis=1)
+    entry_row = jnp.where(one_left, direct_ptr, 0)
+    entry_mask = jnp.where(one_left, 0, remaining)
+    at0 = (levels == 0) & push1[None, :]
+    stack_row = jnp.where(at0, entry_row[None, :], s.stack_row)
+    stack_mask = jnp.where(at0, entry_mask[None, :], s.stack_mask)
+    sp = jnp.where(mask, push1.astype(jnp.int32), s.sp)
+    ptr = jnp.where(mask, jnp.where(found1, child_ptr, DONE), s.ptr)
+
+    # ---- level 2: the chosen child's fields via a slot select chain ----
+    if top.shape[0] == 16:
+        acc = jnp.zeros((b, top.shape[1]), jnp.float32)
+        for k in range(16):
+            acc = jnp.where((slot1 == k)[:, None], top[k][None, :], acc)
+        cmeta = acc[:, 118]
+        l2 = found1 & (cmeta == 0.0)
+        t_near, t_far = slab(acc[:, 0:3], acc[:, 3:6],
+                             acc[:, 6:54], acc[:, 54:102], s.t)
+        cptrs = acc[:, 102:118].astype(jnp.int32)                # (B, 16)
+        hit2 = (t_near <= t_far) & (cptrs >= 0)
+        tn2 = jnp.where(hit2, t_near, jnp.float32(jnp.inf))
+        slot2 = jnp.argmin(tn2, axis=1).astype(jnp.int32)
+        found2 = l2 & hit2.any(axis=1)
+        onehot2 = iota16 == slot2[:, None]
+        gchild = jnp.sum(jnp.where(onehot2, cptrs, 0), axis=1)
+        rembits2 = hit2 & ~onehot2
+        remaining2 = jnp.sum(jnp.where(rembits2, bits16, 0), axis=1)
+        push2 = found2 & (remaining2 > 0)
+        one_left2 = jnp.sum(rembits2.astype(jnp.int32), axis=1) == 1
+        direct2 = jnp.sum(jnp.where(rembits2, cptrs, 0), axis=1)
+        entry_row2 = jnp.where(one_left2, direct2, child_ptr)
+        entry_mask2 = jnp.where(one_left2, 0, remaining2)
+        at_l2 = (levels == sp[None, :]) & (push2 & l2)[None, :]
+        stack_row = jnp.where(at_l2, entry_row2[None, :], stack_row)
+        stack_mask = jnp.where(at_l2, entry_mask2[None, :], stack_mask)
+        sp = sp + (push2 & l2).astype(jnp.int32)
+        # No grandchild hit: leave the lane at the child row — the normal
+        # arrival repeats the test and pops correctly (rare; conservative).
+        ptr = jnp.where(l2 & found2, gchild, ptr)
+
+    return s._replace(ptr=ptr, sp=sp, stack_row=stack_row,
+                      stack_mask=stack_mask)
+
+
 def _traverse(scene, origins, directions, t_max, any_hit: bool):
     b = origins.shape[0]
     nodes = scene.wide16_nodes                                   # (N, 96)

@@ -684,8 +684,17 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             busy=s.busy + jnp.sum((s.mode != MODE_DEAD).astype(jnp.int32)),
             ticks=s.ticks + b,
         )
-        return _transition(scene, config, params, s, budget, current_sample,
-                           trav_done, entry, shard_t)
+        s = _transition(scene, config, params, s, budget, current_sample,
+                        trav_done, entry, shard_t)
+        if use_v16 and config.use_prestep:
+            # Fresh segments (regen/bounce/NEE shadow) all sit at the root;
+            # descend their first level(s) gather-free (prestep16).
+            fresh = ((s.trav.ptr == 0) & (s.trav.pend == tw16.FULL)
+                     & (s.trav.sp == 0) & (s.mode != MODE_DEAD))
+            s = s._replace(trav=tw16.prestep16(
+                nodes16, scene.wide16_top, s.trav_o, s.trav_d,
+                safe_rcp(s.trav_d), s.trav, fresh))
+        return s
 
     final = jax.lax.while_loop(cond, body, init)
     occupancy = final.busy.astype(jnp.float32) / jnp.maximum(

@@ -96,6 +96,11 @@ class SceneData(NamedTuple):
     # halves arrivals per ray for free (experiments/round3_gather.py).
     wide16_nodes: jnp.ndarray = _z(1, 96)     # (N16, 96) float32
 
+    # Slot-indexed decode of the root's 16 children ((16, 119), see
+    # accel.wide16.derive_top16) powering the gather-free traversal
+    # prestep; (1, 119) placeholder disables level 2 statically.
+    wide16_top: jnp.ndarray = _z(1, 119)
+
     # Stack planes the wide8/wide16 register-stack traversal needs for THIS
     # scene: the SHAPE is the actual tree depth + margin (static), so the
     # (D, B) stack arrays and their per-arrival top-reads scale with the
@@ -204,12 +209,19 @@ class Scene:
         wide16 = np.zeros((1, 96), np.float32)
         wide2 = None
         stack_depth = 24
+        wide16_top = np.zeros((1, 119), np.float32)
         if traversal == "wide16":
-            from unity_webgpu_pathtracer_tpu.accel.wide16 import build_scene_wide16
+            from unity_webgpu_pathtracer_tpu.accel.wide16 import (
+                build_scene_wide16,
+                derive_top16,
+            )
 
             w16 = build_scene_wide16(flat.positions, tris)
             wide16 = w16.nodes
             stack_depth = w16.depth + 1
+            top = derive_top16(wide16)
+            if top is not None:
+                wide16_top = top
             # Leaf rows index attributes by BVH-order position (same
             # permutation contract as wide8 below).
             order = w16.order
@@ -317,6 +329,7 @@ class Scene:
             wide_nodes=jnp.asarray(wide),
             wide8_nodes=jnp.asarray(wide8),
             wide16_nodes=jnp.asarray(wide16),
+            wide16_top=jnp.asarray(wide16_top),
             stack_levels=jnp.zeros((stack_depth,), jnp.int32),
             **extra,
         )
