@@ -101,10 +101,12 @@ def init_state(scene, config, params, warm_iters=40):
     zf = jnp.zeros((b,), jnp.float32)
     if TRAV == "wide16":
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide16 as tw
-        trav0 = tw.init_state16(b, jnp.float32(0.0), ptr0=tw.DONE)
+        trav0 = tw.init_state16(b, jnp.float32(0.0), ptr0=tw.DONE,
+                                 depth=scene.stack_levels.shape[0])
     else:
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide8 as tw
-        trav0 = tw.init_state8(b, jnp.float32(0.0), ptr0=tw.DONE)
+        trav0 = tw.init_state8(b, jnp.float32(0.0), ptr0=tw.DONE,
+                                depth=scene.stack_levels.shape[0])
     init = F.FusedState(
         mode=jnp.full((b,), F.MODE_DEAD, jnp.int32), trav=trav0,
         trav_o=z3, trav_d=z3.at[:, 2].set(1.0),

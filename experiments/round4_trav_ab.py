@@ -56,12 +56,16 @@ def make_setup(trav, te, pool, sample_base=0):
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide16 as tw
         nodes = sd.wide16_nodes
         step = tw.arrival_step16
-        init_tr = tw.init_state16(pool, jnp.float32(0.0), ptr0=tw.DONE)
+        init_tr = tw.init_state16(pool, jnp.float32(0.0), ptr0=tw.DONE,
+                                  depth=sd.stack_levels.shape[0])
+        trav16 = tw
     else:
         from unity_webgpu_pathtracer_tpu.ops import traverse_wide8 as tw
         nodes = sd.wide8_nodes
         step = tw.arrival_step8
-        init_tr = tw.init_state8(pool, jnp.float32(0.0), ptr0=tw.DONE)
+        init_tr = tw.init_state8(pool, jnp.float32(0.0), ptr0=tw.DONE,
+                                 depth=sd.stack_levels.shape[0])
+        trav16 = None
 
     # sample_base decorrelates multiple chains (round4_dual.py): each
     # chain draws different samples of the same pixels via the shard tuple.
@@ -77,8 +81,15 @@ def make_setup(trav, te, pool, sample_base=0):
             trav = step(nodes, s.trav_o, s.trav_d, inv, trav, active,
                         has_instances=False)
         s = s._replace(trav=trav)
-        return F._transition(sd, config, params, s, budget, jnp.uint32(0),
-                             trav.ptr < 0, None, shard_t)
+        s = F._transition(sd, config, params, s, budget, jnp.uint32(0),
+                          trav.ptr < 0, None, shard_t)
+        if trav16 is not None and config.use_prestep:
+            fresh = ((s.trav.ptr == 0) & (s.trav.pend == trav16.FULL)
+                     & (s.trav.sp == 0) & (s.mode != F.MODE_DEAD))
+            s = s._replace(trav=trav16.prestep16(
+                nodes, sd.wide16_top, s.trav_o, s.trav_d,
+                safe_rcp(s.trav_d), s.trav, fresh))
+        return s
 
     b = pool
     z3 = jnp.zeros((b, 3), jnp.float32)

@@ -322,13 +322,22 @@ def prestep16(nodes, top, o, d, inv, s: Wide16State, mask) -> Wide16State:
     levels = jnp.arange(s.stack_row.shape[0], dtype=jnp.int32)[:, None]
 
     # ---- level 1: the root row, broadcast ----
+    # The row's integer-bearing words (meta, exponents, ptrs) are arbitrary
+    # bit patterns that are DENORMAL as f32 (ptr values < 2^23); the TPU
+    # flushes denormals to zero somewhere in the scalar/small-vector f32
+    # lowering (observed: eword/ptrs read back 0 on TPU, correct on CPU),
+    # so the whole row is bitcast to int32 FIRST and every field is
+    # extracted in integer space.  Anchor floats are normal values and safe.
     row0 = nodes[0]
-    mask = mask & (_i32(row0[3]) == 0)
+    row0_i = jax.lax.bitcast_convert_type(row0, jnp.int32)       # (96,)
+    mask = mask & (row0_i[3] == 0)
     anchor0 = row0[0:3]
-    eword0 = _i32(row0[4])
-    qb0 = jax.lax.bitcast_convert_type(
-        row0[8:32], jnp.uint8).reshape(96).astype(jnp.float32)
-    ptrs0 = _i32(row0[32:48])[None, :]                           # (1, 16)
+    eword0 = row0_i[4]
+    qwords = row0_i[8:32]                                        # (24,) i32
+    qb0 = jnp.stack(
+        [(qwords >> (8 * i)) & 0xFF for i in range(4)], axis=-1
+    ).reshape(96).astype(jnp.float32)
+    ptrs0 = row0_i[32:48][None, :]                               # (1, 16)
 
     def slab(anchor, scale, qlo, qhi, t_cap):
         t_near = jnp.zeros((b, 16), jnp.float32)
