@@ -42,9 +42,9 @@ def main():
 
     small = os.environ.get("BENCH_SMALL") == "1"
     pool = int(os.environ.get("BENCH_POOL", 1 << 18))
-    trav = os.environ.get("BENCH_TRAV", "wide8")
+    trav = os.environ.get("BENCH_TRAV", "wide16")
     spp = int(os.environ.get("BENCH_SPP", 8))
-    te = int(os.environ.get("BENCH_TE", 10))
+    te = int(os.environ.get("BENCH_TE", 6))
     width, height = (512, 512) if small else (1920, 1080)
     target_tris = 64_000 if small else 1_000_000
     if small:
