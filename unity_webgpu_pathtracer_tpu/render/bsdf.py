@@ -23,6 +23,7 @@ from unity_webgpu_pathtracer_tpu.utils import rng as urng
 from unity_webgpu_pathtracer_tpu.utils.math import (
     INV_PI,
     build_onb,
+    dot,
     luminance,
     normalize,
     reflect,
@@ -157,7 +158,7 @@ def tint_colors(mat: Material, eta: jnp.ndarray):
 def eval_diffuse(mat: Material, csheen, v, l, h):
     """Disney diffuse + retro + fake subsurface + sheen (``brdf.hlsl:25-54``)."""
     lz, vz = l[..., 2], v[..., 2]
-    l_dot_h = jnp.sum(l * h, axis=-1)
+    l_dot_h = dot(l, h)
     rr = 2.0 * mat.roughness * l_dot_h * l_dot_h
     fl = schlick_weight(lz)
     fv = schlick_weight(vz)
@@ -194,8 +195,8 @@ def eval_microfacet_reflection(mat: Material, v, l, h, f_term):
 def eval_microfacet_refraction(mat: Material, eta, v, l, h, f_term):
     """Aniso GGX refraction with eta^2 Jacobian (``brdf.hlsl:72-93``)."""
     lz, vz = l[..., 2], v[..., 2]
-    l_dot_h = jnp.sum(l * h, axis=-1)
-    v_dot_h = jnp.sum(v * h, axis=-1)
+    l_dot_h = dot(l, h)
+    v_dot_h = dot(v, h)
     d = gtr2_aniso(h[..., 2], h[..., 0], h[..., 1], mat.ax, mat.ay)
     g1 = smith_g_aniso(jnp.abs(vz), v[..., 0], v[..., 1], mat.ax, mat.ay)
     g2 = g1 * smith_g_aniso(jnp.abs(lz), l[..., 0], l[..., 1], mat.ax, mat.ay)
@@ -216,7 +217,7 @@ def eval_microfacet_refraction(mat: Material, eta, v, l, h, f_term):
 def eval_clearcoat(mat: Material, v, l, h):
     """GTR1 clearcoat lobe (``brdf.hlsl:95-112``)."""
     lz, vz = l[..., 2], v[..., 2]
-    v_dot_h = jnp.sum(v * h, axis=-1)
+    v_dot_h = dot(v, h)
     f = 0.04 + 0.96 * schlick_weight(v_dot_h)
     d = gtr1(h[..., 2], mat.clearcoat_roughness)
     g = smith_g(lz, 0.25) * smith_g(vz, 0.25)
@@ -269,7 +270,7 @@ def _eval_brdf_local(mat: Material, v, l):
         _lobe_probabilities(mat, v)
 
     reflect_side = lz * vz > 0.0
-    v_dot_h = jnp.abs(jnp.sum(v * h, axis=-1))
+    v_dot_h = jnp.abs(dot(v, h))
 
     f = jnp.zeros_like(mat.base_color)
     pdf = jnp.zeros_like(lz)
@@ -357,7 +358,7 @@ def sample_brdf(mat: Material, v_world, n, state):
     h_ggx = jnp.where((h_ggx[..., 2] < 0.0)[..., None], -h_ggx, h_ggx)
     l_spec = normalize(reflect(-v, h_ggx))
 
-    f_glass = dielectric_fresnel(jnp.abs(jnp.sum(v * h_ggx, axis=-1)), mat.eta)
+    f_glass = dielectric_fresnel(jnp.abs(dot(v, h_ggx)), mat.eta)
     r3_rescaled = _safe_div(r3 - cdf2, cdf3 - cdf2)
     l_refr = normalize(refract(-v, h_ggx, mat.eta))
     l_glass = jnp.where((r3_rescaled < f_glass)[..., None], l_spec, l_refr)

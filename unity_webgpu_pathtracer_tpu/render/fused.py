@@ -427,7 +427,8 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     # --- BSDF sample + Russian roulette -> next bounce or death ---
     pos_b = position
     f_s, l_s, pdf_s, rng_state = ubsdf.sample_brdf(mat, -s.path_d, ffnormal, rng_state)
-    nan_lane = jnp.isnan(f_s).any(-1) | jnp.isnan(pdf_s)
+    nan_f = jnp.isnan(f_s)
+    nan_lane = nan_f[:, 0] | nan_f[:, 1] | nan_f[:, 2] | jnp.isnan(pdf_s)
     sample_ok = to_bsdf & ~nan_lane & (pdf_s > 0.0)
     throughput = jnp.where(
         sample_ok[:, None],
@@ -437,7 +438,9 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     continue_ray = sample_ok
     if config.use_russian_roulette:
         u_rr, rng_state = urng.random_float(rng_state)
-        p_cont = jnp.minimum(jnp.max(throughput, axis=-1) + 0.001, 0.95)
+        t_max3 = jnp.maximum(jnp.maximum(throughput[:, 0], throughput[:, 1]),
+                             throughput[:, 2])
+        p_cont = jnp.minimum(t_max3 + 0.001, 0.95)
         rr_kill = continue_ray & (u_rr >= p_cont)
         throughput = jnp.where(
             (continue_ray & ~rr_kill)[:, None], throughput / p_cont[:, None], throughput

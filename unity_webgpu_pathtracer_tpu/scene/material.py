@@ -143,7 +143,9 @@ def derive_material(
     ior = jnp.clip(mdata[:, 11], 1.001, 2.0)
     anisotropic = jnp.clip(mdata[:, 13], -0.9, 0.9)
     aspect = jnp.sqrt(1.0 - anisotropic * 0.9)
-    entering = jnp.sum(ray_dir * normal, axis=-1) < 0.0
+    entering = (ray_dir[..., 0] * normal[..., 0]
+                + ray_dir[..., 1] * normal[..., 1]
+                + ray_dir[..., 2] * normal[..., 2]) < 0.0
 
     return Material(
         base_color=base[:, 0:3],

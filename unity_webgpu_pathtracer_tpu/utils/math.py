@@ -22,13 +22,21 @@ FAR_PLANE = 1.0e5
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Batched dot product over the last axis, keeps no dims."""
-    return jnp.sum(a * b, axis=-1)
+    """Batched dot product over the last axis, keeps no dims.
+
+    3-wide dots are written in component form: a ``reduce`` over the minor
+    axis ends an XLA fusion, and the production transition contained ~60 of
+    them — each became its own ~90 us kernel launch (the round-4 profile's
+    "tail").  Component adds are plain elementwise ops and fuse freely."""
+    p = a * b
+    if p.shape[-1] == 3:
+        return p[..., 0] + p[..., 1] + p[..., 2]
+    return jnp.sum(p, axis=-1)
 
 
 def dot1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched dot product, keepdims=True (broadcasts against vectors)."""
-    return jnp.sum(a * b, axis=-1, keepdims=True)
+    return dot(a, b)[..., None]
 
 
 def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -49,9 +57,11 @@ def jax_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def luminance(color: jnp.ndarray) -> jnp.ndarray:
-    """Rec.601 luma, matching ``common.hlsl:195-198``."""
-    w = jnp.asarray([0.299, 0.587, 0.114], dtype=color.dtype)
-    return jnp.sum(color * w, axis=-1)
+    """Rec.601 luma, matching ``common.hlsl:195-198`` (component form —
+    see :func:`dot` for why there is no axis reduce here)."""
+    return (color[..., 0] * jnp.asarray(0.299, color.dtype)
+            + color[..., 1] * jnp.asarray(0.587, color.dtype)
+            + color[..., 2] * jnp.asarray(0.114, color.dtype))
 
 
 def sqr(x: jnp.ndarray) -> jnp.ndarray:
