@@ -45,6 +45,7 @@ def main():
     trav = os.environ.get("BENCH_TRAV", "wide16")
     spp = int(os.environ.get("BENCH_SPP", 8))
     te = int(os.environ.get("BENCH_TE", 6))
+    pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     width, height = (512, 512) if small else (1920, 1080)
     target_tris = 64_000 if small else 1_000_000
     if small:
@@ -58,6 +59,7 @@ def main():
         traversal=trav, sky_mode=SKY_MODE_ENVIRONMENT,
         has_environment_texture=True, use_russian_roulette=True,
         integrator="fused", pool_size=pool, bvh_octants=1, transition_every=te,
+        use_pallas_arrival=pallas,
     )
     scene_data = scene.build(config.traversal, octants=config.bvh_octants)
     ntris = int(scene_data.tris.shape[0])

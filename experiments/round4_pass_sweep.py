@@ -35,7 +35,7 @@ from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats  # no
 _CACHE = {}
 
 
-def run_pass(trav, te, pool, spp=SPP, pre=True):
+def run_pass(trav, te, pool, spp=SPP, pre=True, pal=False):
     if "scene" not in _CACHE:
         _CACHE["scene"] = million_triangle_scene(TRIS)
     scene, cam = _CACHE["scene"]
@@ -47,7 +47,7 @@ def run_pass(trav, te, pool, spp=SPP, pre=True):
         traversal=trav, sky_mode=SKY_MODE_ENVIRONMENT,
         has_environment_texture=True, use_russian_roulette=True,
         integrator="fused", pool_size=pool, transition_every=te,
-        use_prestep=pre,
+        use_prestep=pre, use_pallas_arrival=pal,
     )
     params = make_camera_params(width=1920, height=1080, **cam)
 
@@ -77,7 +77,8 @@ def run_pass(trav, te, pool, spp=SPP, pre=True):
     dt = min(times)
     fsum, occ, rays, arrivals = (np.asarray(x) for x in out)
     mrays = float(rays) / dt / 1e6
-    print(f"{trav:7s} te={te:2d} pool={pool>>10:4d}k spp={spp:2d} pre={int(pre)}: "
+    print(f"{trav:7s} te={te:2d} pool={pool>>10:4d}k spp={spp:2d} "
+          f"pre={int(pre)} pal={int(pal)}: "
           f"{dt:6.2f} s/pass, {mrays:5.2f} Mrays/s, occ {float(occ):.3f}, "
           f"arr/ray {float(arrivals)/max(float(rays),1):5.2f}, "
           f"film {float(fsum):.5g} (compile {compile_s:.0f}s)", flush=True)
@@ -94,7 +95,8 @@ def main():
         parts = spec.split(":")
         trav, te, pool = parts[0], int(parts[1]), int(parts[2])
         pre = bool(int(parts[3])) if len(parts) > 3 else True
-        results[spec] = run_pass(trav, te, pool, pre=pre)
+        pal = bool(int(parts[4])) if len(parts) > 4 else False
+        results[spec] = run_pass(trav, te, pool, pre=pre, pal=pal)
     best = max(results, key=results.get)
     print(f"\nbest: {best} ({results[best]:.2f} Mrays/s)")
 

@@ -1,0 +1,106 @@
+"""Pallas arrival kernel vs jnp arrival: same traversal, ulp-level math.
+
+Exact bitwise equality is not achievable across lowering paths (FMA
+contraction differs, shifting Möller-Trumbore t by 1-2 ulp, which can flip
+near-tie winners), so the contract is: identical control flow wherever the
+arithmetic agrees, and hit results within ulp-scale tolerance elsewhere.
+The production check is the on-TPU fused-film A/B (test_wide16 /
+pass_sweep with the pallas flag).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from unity_webgpu_pathtracer_tpu.ops import traverse_wide16 as tw16
+from unity_webgpu_pathtracer_tpu.ops.pallas_arrival import arrival_step16_pallas
+from unity_webgpu_pathtracer_tpu.utils.math import FAR_PLANE, safe_rcp
+
+from tests.test_wide16 import FakeScene
+from tests.test_wide8 import random_rays, random_tris
+
+
+def _run_pair(tris_n, b, steps, seed, active_frac=None):
+    tris = random_tris(tris_n, seed=seed)
+    sc = FakeScene(tris)
+    o, d = random_rays(b, seed=seed + 1)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    inv = safe_rcp(d)
+    active = None
+    if active_frac is not None:
+        rng = np.random.default_rng(0)
+        active = jnp.asarray(rng.random(b) < active_frac)
+
+    s_ref = tw16.init_state16(b, jnp.float32(FAR_PLANE), depth=12)
+    s_pal = s_ref
+    for _ in range(steps):
+        s_ref = tw16.arrival_step16(sc.wide16_nodes, o, d, inv, s_ref,
+                                    active, has_instances=False)
+        s_pal = arrival_step16_pallas(sc.wide16_nodes, o.T, d.T, inv.T,
+                                      s_pal, active, interpret=True)
+    return s_ref, s_pal
+
+
+@pytest.mark.parametrize("steps", [1, 8, 40])
+def test_pallas_arrival_matches(steps):
+    s_ref, s_pal = _run_pair(3000, 4096, steps, seed=21)
+    t_r, t_p = np.asarray(s_ref.t), np.asarray(s_pal.t)
+    # Hit distances agree to ulp scale everywhere.
+    assert np.allclose(t_r, t_p, rtol=1e-5, atol=1e-5), (
+        np.abs(t_r - t_p).max())
+    # Control flow is identical except on ulp near-ties (divergent winners
+    # reorder the rest of that lane's traversal): require >= 99.5% exact.
+    for name in ("ptr", "pend", "sp", "tri", "found"):
+        a = np.asarray(getattr(s_ref, name))
+        p = np.asarray(getattr(s_pal, name))
+        frac = (a == p).mean()
+        assert frac >= 0.995, (name, frac)
+
+
+def test_pallas_arrival_one_step_exact_flow():
+    """A single arrival from a fresh state has no accumulated ulp skew:
+    the structural fields must match exactly."""
+    s_ref, s_pal = _run_pair(500, 2048, 1, seed=5)
+    for name in ("ptr", "pend", "sp", "tri", "found", "stack_row",
+                 "stack_mask"):
+        assert np.array_equal(np.asarray(getattr(s_ref, name)),
+                              np.asarray(getattr(s_pal, name))), name
+
+
+def test_pallas_arrival_with_active_mask():
+    s_ref, s_pal = _run_pair(500, 2048, 6, seed=5, active_frac=0.7)
+    assert np.allclose(np.asarray(s_ref.t), np.asarray(s_pal.t),
+                       rtol=1e-5, atol=1e-5)
+    for name in ("ptr", "sp", "found"):
+        a = np.asarray(getattr(s_ref, name))
+        p = np.asarray(getattr(s_pal, name))
+        assert (a == p).mean() >= 0.995, name
+
+
+def test_fused_film_pallas_matches_jnp():
+    """Production fused pass with the Pallas arrivals vs the jnp arrivals:
+    statistically identical film (ulp-level MT differences can flip
+    near-tie hits, so not bitwise)."""
+    from unity_webgpu_pathtracer_tpu.config import RenderConfig
+    from unity_webgpu_pathtracer_tpu.models.cornell import cornell_box
+    from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    size = 48
+    scene, cam = cornell_box()
+    params = make_camera_params(width=size, height=size, **cam)
+    sd = scene.build("wide16")
+    films = {}
+    for pal in (False, True):
+        config = RenderConfig(
+            width=size, height=size, samples_per_pass=8, max_bounces=3,
+            traversal="wide16", sky_mode=2, integrator="fused",
+            pool_size=2048, use_pallas_arrival=pal,
+        )
+        film, _occ, rays, _arr = fused_pass_with_stats(
+            sd, config, params, np.uint32(0), pool_size=2048)
+        films[pal] = np.asarray(film) / 8.0
+        assert np.isfinite(films[pal]).all()
+    a, b = films[False], films[True]
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.02, (
+        a.mean(), b.mean())

@@ -95,6 +95,11 @@ class RenderConfig:
     # a traversal segment idle until the next transition).
     transition_every: int = 4
 
+    # Run wide16 arrivals through the Pallas kernel (ops.pallas_arrival):
+    # one kernel per arrival instead of ~20 XLA fusions of decode/slab/MT/
+    # stack plumbing. No-instance scenes only; ignored elsewhere.
+    use_pallas_arrival: bool = False
+
     # Gather-free first-arrival prestep for fresh ray segments (wide16):
     # the root level (and, for non-instanced scenes, the second level) is
     # descended from broadcast constants / a slot select chain instead of

@@ -639,11 +639,31 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
 
     te = getattr(config, "transition_every", TRANSITION_EVERY) or TRANSITION_EVERY
 
+    use_pallas = (
+        config.use_pallas_arrival and use_v16 and inst_w2l is None
+        and b % 2048 == 0
+    )
+    if use_pallas:
+        from unity_webgpu_pathtracer_tpu.ops import pallas_arrival as _pa
+
+        # Interpret mode keeps the CPU test path runnable; compiled Mosaic
+        # on TPU.
+        _interp = jax.default_backend() == "cpu"
+
     def body(s: FusedState):
         inv = safe_rcp(s.trav_d)
         shadowing = (s.mode == MODE_SHADOW_ENV) | (s.mode == MODE_SHADOW_LIGHT)
         trav = s.trav
-        if use_v16:
+        if use_pallas:
+            oT, dT, invT = s.trav_o.T, s.trav_d.T, inv.T
+            for _ in range(te):
+                active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
+                trav = _pa.arrival_step16_pallas(nodes16, oT, dT, invT,
+                                                 trav, active,
+                                                 interpret=_interp)
+            stepping = (s.mode != MODE_DEAD) & (s.trav.ptr >= 0)
+            trav_done = trav.ptr < 0
+        elif use_v16:
             for _ in range(te):
                 active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
                 trav = tw16.arrival_step16(nodes16, s.trav_o, s.trav_d, inv,
