@@ -24,7 +24,7 @@ OUT = os.environ.get("PROF_DIR", "/tmp/prof_super")
 
 
 def main():
-    body, s0 = AB.make_setup(TRAV, TE, POOL)
+    body, s0 = AB.make_setup(TRAV, TE, POOL, pal=os.environ.get("PROBE_PAL", "0") == "1")
 
     @jax.jit
     def warm(s):

@@ -31,7 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 _CACHE = {}
 
 
-def make_setup(trav, te, pool, sample_base=0):
+def make_setup(trav, te, pool, sample_base=0, pal=False):
     from unity_webgpu_pathtracer_tpu.config import SKY_MODE_ENVIRONMENT, RenderConfig
     from unity_webgpu_pathtracer_tpu.models.benchmark import million_triangle_scene
     from unity_webgpu_pathtracer_tpu.render import fused as F
@@ -72,14 +72,24 @@ def make_setup(trav, te, pool, sample_base=0):
     shard_t = None if sample_base == 0 else (
         jnp.uint32(0), config.pixel_count(), jnp.uint32(sample_base))
 
+    if pal:
+        from unity_webgpu_pathtracer_tpu.ops import pallas_arrival as _pa
+
     def body(s):
         inv = safe_rcp(s.trav_d)
         shadowing = (s.mode == F.MODE_SHADOW_ENV) | (s.mode == F.MODE_SHADOW_LIGHT)
         trav = s.trav
-        for _ in range(te):
-            active = (s.mode != F.MODE_DEAD) & ~(shadowing & trav.found)
-            trav = step(nodes, s.trav_o, s.trav_d, inv, trav, active,
-                        has_instances=False)
+        if pal:
+            oT, dT, invT = s.trav_o.T, s.trav_d.T, inv.T
+            for _ in range(te):
+                active = (s.mode != F.MODE_DEAD) & ~(shadowing & trav.found)
+                trav = _pa.arrival_step16_pallas(nodes, oT, dT, invT, trav,
+                                                 active)
+        else:
+            for _ in range(te):
+                active = (s.mode != F.MODE_DEAD) & ~(shadowing & trav.found)
+                trav = step(nodes, s.trav_o, s.trav_d, inv, trav, active,
+                            has_instances=False)
         s = s._replace(trav=trav)
         s = F._transition(sd, config, params, s, budget, jnp.uint32(0),
                           trav.ptr < 0, None, shard_t)
