@@ -38,7 +38,7 @@ from unity_webgpu_pathtracer_tpu.ops.intersect import DET_EPS, T_MIN
 from unity_webgpu_pathtracer_tpu.ops.traverse_wide16 import DONE, FULL, Wide16State
 from unity_webgpu_pathtracer_tpu.utils.math import FAR_PLANE
 
-BLK = 2048
+BLK = 2048  # upper bound; the call picks the largest power-of-two divisor
 
 
 def _i32(x):
@@ -76,7 +76,12 @@ def _arrival_kernel(
     ofound_ref, osrow_ref, osmask_ref,
 ):
     depth = srow_ref.shape[0]
-    rowT = rowT_ref[:]                                   # (96, BLK) f32
+    rows = rowT_ref[:]
+    # Rows normally arrive pre-transposed (96, BLK): XLA's fused
+    # gather+transpose (~2.8 ms/arrival) measured FASTER than Mosaic's
+    # in-kernel block transpose (11.7 vs 8.0 s/pass) — keep the host-side
+    # .T; the (BLK, 96) mode remains for experiments.
+    rowT = rows if rows.shape[0] == 96 else rows.T       # (96, BLK)
     rowT_i = _i32(rowT)                                  # bit-safe int view
     live = live_ref[:] != 0
     ptr = ptr_ref[:]
@@ -222,29 +227,37 @@ def _arrival_kernel(
 
 
 def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
-                          interpret: bool = False) -> Wide16State:
+                          interpret: bool = False,
+                          transpose_in_kernel: bool = False) -> Wide16State:
     """Drop-in arrival for no-instance scenes.
 
     ``oT``/``dT``/``invT`` are the (3, B) transposes of the ray arrays —
     transpose them ONCE per super-iteration, not per arrival.
     """
     b = s.ptr.shape[0]
-    assert b % BLK == 0, f"pool {b} not a multiple of {BLK}"
+    blk = BLK
+    while b % blk:
+        blk //= 2
+    assert blk >= 256, f"pool {b} has no usable block size"
     depth = s.stack_row.shape[0]
     live = s.ptr >= 0
     if active is not None:
         live = live & active
     idx = jnp.where(live, s.ptr, 0)
-    rowT = nodes[idx].T                                  # (96, B)
+    rows_in = nodes[idx] if transpose_in_kernel else nodes[idx].T
 
-    grid = b // BLK
+    grid = b // blk
 
     def col(dtype=jnp.float32):
-        return pl.BlockSpec((BLK,), lambda i: (i,), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM)
 
     def plane(rows):
-        return pl.BlockSpec((rows, BLK), lambda i: (0, i),
+        return pl.BlockSpec((rows, blk), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
+
+    row_spec = (pl.BlockSpec((blk, 96), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                if transpose_in_kernel else plane(96))
 
     out_shapes = [
         jax.ShapeDtypeStruct((b,), jnp.int32),    # ptr
@@ -261,13 +274,13 @@ def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
     outs = pl.pallas_call(
         _arrival_kernel,
         grid=(grid,),
-        in_specs=[plane(96), plane(3), plane(3), plane(3), col()]
+        in_specs=[row_spec, plane(3), plane(3), plane(3), col()]
         + [col()] * 8 + [plane(depth)] * 2,
         out_specs=[col()] * 8 + [plane(depth)] * 2,
         out_shape=out_shapes,
         interpret=interpret,
     )(
-        rowT, oT, dT, invT, live.astype(jnp.int32),
+        rows_in, oT, dT, invT, live.astype(jnp.int32),
         s.ptr, s.pend, s.sp, s.t, s.u, s.v, s.tri,
         s.found.astype(jnp.int32),
         s.stack_row, s.stack_mask,

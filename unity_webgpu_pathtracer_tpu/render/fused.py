@@ -641,7 +641,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
 
     use_pallas = (
         config.use_pallas_arrival and use_v16 and inst_w2l is None
-        and b % 2048 == 0
+        and b % 256 == 0
     )
     if use_pallas:
         from unity_webgpu_pathtracer_tpu.ops import pallas_arrival as _pa
