@@ -65,8 +65,12 @@ def test_mesh_validation():
 @pytest.mark.slow
 def test_multichip_fused_equals_single_chip():
     """The PRODUCTION integrator (fused wavefront, wide8) sharded over a
-    (tile=4, spp=2) mesh is bitwise identical to the single-chip pass with
-    the same total sample count (seeds are (global pixel, global sample))."""
+    (tile=4, spp=2) mesh matches the single-chip pass with the same total
+    sample count to 1 ulp (seeds are (global pixel, global sample), so
+    every sample's radiance is bitwise identical; the only non-determinism
+    left is film scatter-add DUPLICATE ordering when two samples of one
+    pixel die in the same transition, which shard-local lane order can
+    permute — a 1-ulp association difference)."""
     import jax
     import numpy as np
 
@@ -96,5 +100,7 @@ def test_multichip_fused_equals_single_chip():
         fused_pass_with_stats, static_argnums=(1,),
         static_argnames=("pool_size",),
     )(sd, cfg1, params, 0, pool_size=2048)
-    np.testing.assert_array_equal(np.asarray(film_mc), np.asarray(film_1))
+    a, b = np.asarray(film_mc), np.asarray(film_1)
+    np.testing.assert_allclose(a, b, rtol=3e-7, atol=0.0)
+    assert (a == b).mean() > 0.99, (a == b).mean()
     assert int(rays) > 0 and float(occ) > 0
