@@ -20,7 +20,7 @@ from tests.test_wide16 import FakeScene
 from tests.test_wide8 import random_rays, random_tris
 
 
-def _run_pair(tris_n, b, steps, seed, active_frac=None):
+def _run_pair(tris_n, b, steps, seed, active_frac=None, tk=False):
     tris = random_tris(tris_n, seed=seed)
     sc = FakeScene(tris)
     o, d = random_rays(b, seed=seed + 1)
@@ -37,7 +37,8 @@ def _run_pair(tris_n, b, steps, seed, active_frac=None):
         s_ref = tw16.arrival_step16(sc.wide16_nodes, o, d, inv, s_ref,
                                     active, has_instances=False)
         s_pal = arrival_step16_pallas(sc.wide16_nodes, o.T, d.T, inv.T,
-                                      s_pal, active, interpret=True)
+                                      s_pal, active, interpret=True,
+                                      transpose_in_kernel=tk)
     return s_ref, s_pal
 
 
@@ -104,3 +105,14 @@ def test_fused_film_pallas_matches_jnp():
     a, b = films[False], films[True]
     assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.02, (
         a.mean(), b.mean())
+
+
+@pytest.mark.parametrize("b,tk", [(1024, False), (1280, False), (2048, True)])
+def test_pallas_arrival_block_sizes_and_modes(b, tk):
+    """Smaller adaptive blocks (1024; 1280 -> blk=256) and the in-kernel
+    transpose mode keep single-arrival control flow exact."""
+    s_ref, s_pal = _run_pair(500, b, 1, seed=7, tk=tk)
+    for name in ("ptr", "pend", "sp", "tri", "found", "stack_row",
+                 "stack_mask"):
+        assert np.array_equal(np.asarray(getattr(s_ref, name)),
+                              np.asarray(getattr(s_pal, name))), name

@@ -38,7 +38,8 @@ from unity_webgpu_pathtracer_tpu.ops.intersect import DET_EPS, T_MIN
 from unity_webgpu_pathtracer_tpu.ops.traverse_wide16 import DONE, FULL, Wide16State
 from unity_webgpu_pathtracer_tpu.utils.math import FAR_PLANE
 
-BLK = 2048  # upper bound; the call picks the largest power-of-two divisor
+BLK = 2048      # upper bound; the call picks the largest power-of-two divisor
+MIN_BLK = 256   # floor; callers (render/fused.py) gate on pool % MIN_BLK
 
 
 def _i32(x):
@@ -69,6 +70,7 @@ def _f16_bits_to_f32(bits):
 
 
 def _arrival_kernel(
+    transpose_in_kernel,
     rowT_ref, oT_ref, dT_ref, invT_ref, live_ref,
     ptr_ref, pend_ref, sp_ref, t_ref, u_ref, v_ref, tri_ref, found_ref,
     srow_ref, smask_ref,
@@ -76,12 +78,12 @@ def _arrival_kernel(
     ofound_ref, osrow_ref, osmask_ref,
 ):
     depth = srow_ref.shape[0]
-    rows = rowT_ref[:]
     # Rows normally arrive pre-transposed (96, BLK): XLA's fused
     # gather+transpose (~2.8 ms/arrival) measured FASTER than Mosaic's
     # in-kernel block transpose (11.7 vs 8.0 s/pass) — keep the host-side
     # .T; the (BLK, 96) mode remains for experiments.
-    rowT = rows if rows.shape[0] == 96 else rows.T       # (96, BLK)
+    rows_in = rowT_ref[:]
+    rowT = rows_in.T if transpose_in_kernel else rows_in  # (96, BLK)
     rowT_i = _i32(rowT)                                  # bit-safe int view
     live = live_ref[:] != 0
     ptr = ptr_ref[:]
@@ -238,7 +240,7 @@ def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
     blk = BLK
     while b % blk:
         blk //= 2
-    assert blk >= 256, f"pool {b} has no usable block size"
+    assert blk >= MIN_BLK, f"pool {b} has no usable block size"
     depth = s.stack_row.shape[0]
     live = s.ptr >= 0
     if active is not None:
@@ -248,7 +250,7 @@ def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
 
     grid = b // blk
 
-    def col(dtype=jnp.float32):
+    def col():
         return pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM)
 
     def plane(rows):
@@ -271,8 +273,10 @@ def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
         jax.ShapeDtypeStruct((depth, b), jnp.int32),  # stack_row
         jax.ShapeDtypeStruct((depth, b), jnp.int32),  # stack_mask
     ]
+    import functools
+
     outs = pl.pallas_call(
-        _arrival_kernel,
+        functools.partial(_arrival_kernel, transpose_in_kernel),
         grid=(grid,),
         in_specs=[row_spec, plane(3), plane(3), plane(3), col()]
         + [col()] * 8 + [plane(depth)] * 2,

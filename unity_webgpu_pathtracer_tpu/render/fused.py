@@ -639,10 +639,11 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
 
     te = getattr(config, "transition_every", TRANSITION_EVERY) or TRANSITION_EVERY
 
-    use_pallas = (
-        config.use_pallas_arrival and use_v16 and inst_w2l is None
-        and b % 256 == 0
-    )
+    if config.use_pallas_arrival and use_v16 and inst_w2l is None:
+        from unity_webgpu_pathtracer_tpu.ops.pallas_arrival import MIN_BLK
+        use_pallas = b % MIN_BLK == 0
+    else:
+        use_pallas = False
     if use_pallas:
         from unity_webgpu_pathtracer_tpu.ops import pallas_arrival as _pa
 
