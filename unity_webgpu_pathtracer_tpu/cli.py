@@ -15,6 +15,8 @@ import argparse
 import sys
 import time
 
+import jax
+
 
 TONEMAPS = {"none": 0, "aces": 1, "filmic": 2, "reinhard": 3, "lottes": 4}
 
@@ -61,11 +63,20 @@ def cmd_render(args):
     overrides.setdefault("traversal", args.traversal)
     overrides["has_lights"] = bool(scene.lights) or overrides.get("has_lights", False)
     overrides["has_textures"] = bool(scene.textures) or overrides.get("has_textures", False)
+    # Production defaults: fused + wide16 + the Pallas arrival kernel at
+    # cadence 10 (the bench-optimal config); every other backend remains
+    # selectable for cross-checking.
+    if args.integrator == "fused" and "transition_every" not in overrides:
+        overrides["transition_every"] = 10
     config = RenderConfig(
         width=width, height=height,
         samples_per_pass=min(args.spp, args.spp_per_pass),
         max_bounces=args.bounces,
         integrator=args.integrator,
+        # Pallas arrivals are TPU-compiled; on CPU backends the interpret
+        # fallback is correct but slow, so default it off there.
+        use_pallas_arrival=(not args.no_pallas
+                            and jax.default_backend() == "tpu"),
         **overrides,
     )
     params = make_camera_params(width=width, height=height, **cam)
@@ -105,10 +116,12 @@ def main(argv=None):
     pr.add_argument("--spp", type=int, default=64)
     pr.add_argument("--spp-per-pass", type=int, default=4)
     pr.add_argument("--bounces", type=int, default=5)
-    pr.add_argument("--integrator", default="megakernel",
+    pr.add_argument("--integrator", default="fused",
                     choices=["megakernel", "wavefront", "fused"])
-    pr.add_argument("--traversal", default="wide",
+    pr.add_argument("--traversal", default="wide16",
                     choices=["bruteforce", "mbvh", "skip", "wide", "wide2", "wide8", "wide16"])
+    pr.add_argument("--no-pallas", action="store_true",
+                    help="disable the Pallas arrival kernel (wide16+fused)")
     pr.add_argument("--env", help="HDRI .hdr environment map")
     pr.add_argument("--tonemap", default="aces", choices=list(TONEMAPS))
     pr.add_argument("--exposure", type=float, default=1.0)
