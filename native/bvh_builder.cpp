@@ -1,4 +1,5 @@
-// Native BVH builder: binned-SAH BVH2 + 8-wide MBVH collapse.
+// Native BVH builder: binned-SAH BVH2 (+ SBVH spatial splits) + wide
+// collapse emitters.
 //
 // TPU-native counterpart of the reference's tinybvh C plugin
 // (Assets/Plugins/Web/plugin.cpp) — same role (host-side acceleration
@@ -8,9 +9,17 @@
 //   bounds[n*48 .. ] = [lox*8 | loy*8 | loz*8 | hix*8 | hiy*8 | hiz*8]
 //   child[n*8 + k]   = 0 empty, c>0 inner node (c-1), c<0 leaf -(off*16+cnt)
 //
-// Algorithm: 8-bin SAH sweep per axis (same family as tiny_bvh.h:2292-2380),
-// leaves capped at `leaf_size` triangles, collapse grows each wide node by
-// expanding the largest-surface-area inner child until 8 slots are filled.
+// Algorithms:
+//  * 8-bin SAH sweep per axis (same family as tiny_bvh.h:2292-2380),
+//    leaves capped at `leaf_size` triangles, collapse grows each wide node
+//    by expanding the largest-surface-area inner child until slots fill.
+//  * SBVH spatial splits (quality=1; the same algorithm family as the
+//    reference's vendored-but-unused tinybvh BuildHQ): binned object split
+//    vs binned spatial split with triangle clipping, chosen per node by
+//    SAH; straddling references are split (duplicated) under a ref budget,
+//    with reference unsplitting when the budget runs out.  The output
+//    `order` array becomes a REFERENCE list (length >= tri_count, entries
+//    are original triangle ids, duplicates allowed).
 
 #include <algorithm>
 #include <cfloat>

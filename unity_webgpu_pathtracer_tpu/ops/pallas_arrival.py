@@ -57,13 +57,16 @@ def _f16_bits_to_f32(bits):
     for i16->f16), so the decode rebias-assembles f32 bits (a same-width
     i32->f32 bitcast, which it accepts).  Subnormal f16 inputs (quantized
     near-zero leaf coordinates) take the exact m * 2^-24 path; e=31
-    (inf/nan) cannot occur in packed geometry.
+    (inf/nan, emitted by the builders when a leaf coordinate overflows
+    65504) maps to f32 inf/nan so oversized scenes miss on this path
+    exactly like the jnp path's hardware f16 bitcast.
     """
     s = (bits >> 15) & 1
     e = (bits >> 10) & 0x1F
     m = bits & 0x3FF
+    exp32 = jnp.where(e == 0x1F, 255, e + 112)
     normal = jax.lax.bitcast_convert_type(
-        (s << 31) | ((e + 112) << 23) | (m << 13), jnp.float32)
+        (s << 31) | (exp32 << 23) | (m << 13), jnp.float32)
     sub = m.astype(jnp.float32) * jnp.float32(2.0 ** -24)
     sub = jnp.where(s > 0, -sub, sub)
     return jnp.where(e == 0, sub, normal)

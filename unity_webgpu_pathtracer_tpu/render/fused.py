@@ -647,9 +647,10 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
     if use_pallas:
         from unity_webgpu_pathtracer_tpu.ops import pallas_arrival as _pa
 
-        # Interpret mode keeps the CPU test path runnable; compiled Mosaic
-        # on TPU.
-        _interp = jax.default_backend() == "cpu"
+        # Compiled Mosaic only on real TPU; every other backend (CPU tests,
+        # GPU) runs the kernel in interpret mode (the pltpu.VMEM BlockSpecs
+        # would not compile there).
+        _interp = jax.default_backend() != "tpu"
 
     def body(s: FusedState):
         inv = safe_rcp(s.trav_d)
