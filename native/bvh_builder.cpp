@@ -208,6 +208,354 @@ struct Builder {
   }
 };
 
+// ---------------------------------------------------------------------------
+// SBVH: binned object-split vs binned spatial-split builder (Stich et al.
+// 2009 family — the algorithm behind tinybvh's vendored-but-unused BuildHQ).
+// Produces the same (nodes, order) contract as Builder, except `order` is a
+// reference list: original triangle ids, length >= tri_count, duplicates
+// allowed (a triangle straddling a spatial split appears in both subtrees).
+// ---------------------------------------------------------------------------
+struct Ref {
+  int tri;
+  V3 lo, hi;
+};
+
+static inline bool box_valid(const V3& lo, const V3& hi) {
+  return lo.x <= hi.x && lo.y <= hi.y && lo.z <= hi.z;
+}
+
+struct SBVHBuilder {
+  static constexpr int NB = 16;           // bins (object and spatial)
+  static constexpr float kAlpha = 1e-5f;  // overlap trigger vs root area
+  const float* pos;   // (F, 9) triangle vertices
+  int tri_count;
+  int leaf_size;
+  std::vector<Node2> nodes;
+  std::vector<int> order;   // leaf refs in DFS order (subtree-contiguous)
+  long long ref_budget = 0;
+  long long live_refs = 0;
+  float root_area = 0.f;
+
+  // Sutherland-Hodgman clip of a convex polygon against one axis plane.
+  static int clip_plane(const V3* in, int n, int axis, float c,
+                        bool keep_above, V3* out) {
+    int m = 0;
+    for (int i = 0; i < n; ++i) {
+      const V3& a = in[i];
+      const V3& b = in[(i + 1) % n];
+      float da = keep_above ? a[axis] - c : c - a[axis];
+      float db = keep_above ? b[axis] - c : c - b[axis];
+      if (da >= 0) out[m++] = a;
+      if ((da >= 0) != (db >= 0)) {
+        float f = da / (da - db);
+        out[m++] = {a.x + f * (b.x - a.x), a.y + f * (b.y - a.y),
+                    a.z + f * (b.z - a.z)};
+      }
+    }
+    return m;
+  }
+
+  // AABB of the ORIGINAL triangle clipped to the axis slab [l, r],
+  // intersected with the ref's own box (the ref may be a fragment).
+  bool clip_box(const Ref& ref, int axis, float l, float r,
+                V3* out_lo, V3* out_hi) const {
+    const float* p = pos + (size_t)ref.tri * 9;
+    V3 a[9] = {{p[0], p[1], p[2]}, {p[3], p[4], p[5]}, {p[6], p[7], p[8]}};
+    V3 b[9];
+    int n = 3;
+    if (l > -FLT_MAX) {
+      n = clip_plane(a, n, axis, l, true, b);
+    } else {
+      std::memcpy(b, a, sizeof(V3) * 3);
+    }
+    n = clip_plane(b, n, axis, r, false, a);
+    if (n == 0) return false;
+    V3 lo{FLT_MAX, FLT_MAX, FLT_MAX}, hi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+    for (int i = 0; i < n; ++i) {
+      lo = vmin(lo, a[i]);
+      hi = vmax(hi, a[i]);
+    }
+    lo = vmax(lo, ref.lo);
+    hi = vmin(hi, ref.hi);
+    // Clamp the split axis exactly to the slab so fragment unions stay
+    // watertight at the plane.
+    float* lo_a = &lo.x;
+    float* hi_a = &hi.x;
+    lo_a[axis] = std::max(lo_a[axis], l);
+    hi_a[axis] = std::min(hi_a[axis], r);
+    if (!box_valid(lo, hi)) return false;
+    *out_lo = lo;
+    *out_hi = hi;
+    return true;
+  }
+
+  void build() {
+    std::vector<Ref> refs(tri_count);
+    V3 rlo{FLT_MAX, FLT_MAX, FLT_MAX}, rhi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+    for (int i = 0; i < tri_count; ++i) {
+      const float* p = pos + (size_t)i * 9;
+      V3 a{p[0], p[1], p[2]}, b{p[3], p[4], p[5]}, c{p[6], p[7], p[8]};
+      refs[i] = {i, vmin(vmin(a, b), c), vmax(vmax(a, b), c)};
+      rlo = vmin(rlo, refs[i].lo);
+      rhi = vmax(rhi, refs[i].hi);
+    }
+    live_refs = tri_count;
+    ref_budget = (long long)tri_count + tri_count / 2 + 64;
+    root_area = area(rlo, rhi);
+    nodes.reserve((size_t)tri_count * 2 + 16);
+    order.reserve((size_t)ref_budget + 16);
+    nodes.emplace_back();
+    subdivide(0, std::move(refs));
+  }
+
+  void make_leaf(int ni, const std::vector<Ref>& refs) {
+    int start = (int)order.size();
+    int cnt = 0;
+    for (const Ref& r : refs) {
+      bool dup = false;
+      for (int j = 0; j < cnt; ++j)
+        if (order[start + j] == r.tri) { dup = true; break; }
+      if (!dup) {
+        order.push_back(r.tri);
+        ++cnt;
+      }
+    }
+    nodes[ni].start = start;
+    nodes[ni].count = cnt;
+  }
+
+  bool do_spatial(std::vector<Ref>& refs, int axis, float split,
+                  std::vector<Ref>& left, std::vector<Ref>& right) {
+    const int n = (int)refs.size();
+    left.reserve(n);
+    right.reserve(n);
+    for (const Ref& r : refs) {
+      const float* rlo = &r.lo.x;
+      const float* rhi = &r.hi.x;
+      if (rhi[axis] <= split) {
+        left.push_back(r);
+      } else if (rlo[axis] >= split) {
+        right.push_back(r);
+      } else if (live_refs < ref_budget) {
+        V3 llo, lhi, rrlo, rrhi;
+        bool okl = clip_box(r, axis, -FLT_MAX, split, &llo, &lhi);
+        bool okr = clip_box(r, axis, split, FLT_MAX, &rrlo, &rrhi);
+        if (okl && okr) {
+          left.push_back({r.tri, llo, lhi});
+          right.push_back({r.tri, rrlo, rrhi});
+          ++live_refs;
+        } else if (okl) {
+          left.push_back({r.tri, llo, lhi});
+        } else if (okr) {
+          right.push_back({r.tri, rrlo, rrhi});
+        } else {
+          left.push_back(r);   // fully degenerate fragment: keep whole
+        }
+      } else {
+        // Budget exhausted: unsplit to the side covering more of the ref.
+        float dl = split - rlo[axis], dr = rhi[axis] - split;
+        (dl >= dr ? left : right).push_back(r);
+      }
+    }
+    if (left.empty() || right.empty()) return false;
+    if ((int)left.size() >= n && (int)right.size() >= n) return false;
+    return true;
+  }
+
+  void subdivide(int ni, std::vector<Ref> refs) {
+    V3 blo{FLT_MAX, FLT_MAX, FLT_MAX}, bhi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+    V3 clo{FLT_MAX, FLT_MAX, FLT_MAX}, chi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+    for (const Ref& r : refs) {
+      blo = vmin(blo, r.lo);
+      bhi = vmax(bhi, r.hi);
+      V3 cen{(r.lo.x + r.hi.x) * 0.5f, (r.lo.y + r.hi.y) * 0.5f,
+             (r.lo.z + r.hi.z) * 0.5f};
+      clo = vmin(clo, cen);
+      chi = vmax(chi, cen);
+    }
+    nodes[ni].lo = blo;
+    nodes[ni].hi = bhi;
+    const int n = (int)refs.size();
+    if (n <= leaf_size) {
+      make_leaf(ni, refs);
+      return;
+    }
+
+    // ---- object split: binned SAH over ref centroids ----
+    float obj_cost = FLT_MAX;
+    int obj_axis = -1, obj_bin = -1;
+    float obj_scale = 0.f, obj_orig = 0.f;
+    V3 oL_lo{}, oL_hi{}, oR_lo{}, oR_hi{};
+    for (int axis = 0; axis < 3; ++axis) {
+      const float* clo_a = &clo.x;
+      const float* chi_a = &chi.x;
+      float ext = chi_a[axis] - clo_a[axis];
+      if (ext <= 1e-12f) continue;
+      float scale = NB * (1.0f - 1e-6f) / ext;
+      int cnt[NB] = {0};
+      V3 binlo[NB], binhi[NB];
+      for (int b = 0; b < NB; ++b) {
+        binlo[b] = {FLT_MAX, FLT_MAX, FLT_MAX};
+        binhi[b] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+      }
+      for (const Ref& r : refs) {
+        float cen = ((&r.lo.x)[axis] + (&r.hi.x)[axis]) * 0.5f;
+        int b = std::min((int)((cen - clo_a[axis]) * scale), NB - 1);
+        cnt[b]++;
+        binlo[b] = vmin(binlo[b], r.lo);
+        binhi[b] = vmax(binhi[b], r.hi);
+      }
+      V3 plo[NB], phi[NB], slo[NB], shi[NB];
+      int nl[NB], nr[NB];
+      V3 alo{FLT_MAX, FLT_MAX, FLT_MAX}, ahi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+      int an = 0;
+      for (int b = 0; b < NB; ++b) {
+        alo = vmin(alo, binlo[b]);
+        ahi = vmax(ahi, binhi[b]);
+        an += cnt[b];
+        plo[b] = alo; phi[b] = ahi; nl[b] = an;
+      }
+      alo = {FLT_MAX, FLT_MAX, FLT_MAX};
+      ahi = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+      an = 0;
+      for (int b = NB - 1; b >= 0; --b) {
+        alo = vmin(alo, binlo[b]);
+        ahi = vmax(ahi, binhi[b]);
+        an += cnt[b];
+        slo[b] = alo; shi[b] = ahi; nr[b] = an;
+      }
+      for (int b = 0; b < NB - 1; ++b) {
+        if (nl[b] == 0 || nr[b + 1] == 0) continue;
+        float cost = area(plo[b], phi[b]) * nl[b] + area(slo[b + 1], shi[b + 1]) * nr[b + 1];
+        if (cost < obj_cost) {
+          obj_cost = cost;
+          obj_axis = axis;
+          obj_bin = b;
+          obj_scale = scale;
+          obj_orig = clo_a[axis];
+          oL_lo = plo[b]; oL_hi = phi[b];
+          oR_lo = slo[b + 1]; oR_hi = shi[b + 1];
+        }
+      }
+    }
+
+    // ---- spatial split: only when the object split's children overlap ----
+    float sp_cost = FLT_MAX;
+    int sp_axis = -1;
+    float sp_pos = 0.f;
+    bool try_spatial = true;
+    if (obj_axis >= 0) {
+      V3 ovlo = vmax(oL_lo, oR_lo), ovhi = vmin(oL_hi, oR_hi);
+      try_spatial = box_valid(ovlo, ovhi) && area(ovlo, ovhi) > kAlpha * root_area;
+    }
+    if (try_spatial) {
+      const float* blo_a = &blo.x;
+      const float* bhi_a = &bhi.x;
+      for (int axis = 0; axis < 3; ++axis) {
+        float ext = bhi_a[axis] - blo_a[axis];
+        if (ext <= 1e-12f) continue;
+        float scale = NB * (1.0f - 1e-6f) / ext;
+        float width = ext / (NB * (1.0f - 1e-6f));
+        int entry[NB] = {0}, exit_[NB] = {0};
+        V3 binlo[NB], binhi[NB];
+        for (int b = 0; b < NB; ++b) {
+          binlo[b] = {FLT_MAX, FLT_MAX, FLT_MAX};
+          binhi[b] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+        }
+        for (const Ref& r : refs) {
+          int b0 = std::min(std::max((int)(((&r.lo.x)[axis] - blo_a[axis]) * scale), 0), NB - 1);
+          int b1 = std::min(std::max((int)(((&r.hi.x)[axis] - blo_a[axis]) * scale), b0), NB - 1);
+          entry[b0]++;
+          exit_[b1]++;
+          if (b0 == b1) {
+            binlo[b0] = vmin(binlo[b0], r.lo);
+            binhi[b0] = vmax(binhi[b0], r.hi);
+          } else {
+            for (int b = b0; b <= b1; ++b) {
+              float l = b == 0 ? blo_a[axis] : blo_a[axis] + b * width;
+              float rr = b == NB - 1 ? bhi_a[axis] : blo_a[axis] + (b + 1) * width;
+              V3 flo, fhi;
+              if (clip_box(r, axis, l, rr, &flo, &fhi)) {
+                binlo[b] = vmin(binlo[b], flo);
+                binhi[b] = vmax(binhi[b], fhi);
+              }
+            }
+          }
+        }
+        float larea[NB], rarea[NB];
+        int lcnt[NB], rcnt[NB];
+        V3 alo{FLT_MAX, FLT_MAX, FLT_MAX}, ahi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+        int an = 0;
+        for (int b = 0; b < NB; ++b) {
+          alo = vmin(alo, binlo[b]);
+          ahi = vmax(ahi, binhi[b]);
+          an += entry[b];
+          larea[b] = box_valid(alo, ahi) ? area(alo, ahi) : 0.f;
+          lcnt[b] = an;
+        }
+        alo = {FLT_MAX, FLT_MAX, FLT_MAX};
+        ahi = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+        an = 0;
+        for (int b = NB - 1; b >= 0; --b) {
+          alo = vmin(alo, binlo[b]);
+          ahi = vmax(ahi, binhi[b]);
+          an += exit_[b];
+          rarea[b] = box_valid(alo, ahi) ? area(alo, ahi) : 0.f;
+          rcnt[b] = an;
+        }
+        for (int b = 0; b < NB - 1; ++b) {
+          if (lcnt[b] == 0 || rcnt[b + 1] == 0) continue;
+          float cost = larea[b] * lcnt[b] + rarea[b + 1] * rcnt[b + 1];
+          if (cost < sp_cost) {
+            sp_cost = cost;
+            sp_axis = axis;
+            sp_pos = blo_a[axis] + (b + 1) * width;
+          }
+        }
+      }
+    }
+
+    // ---- partition ----
+    std::vector<Ref> left, right;
+    bool did = false;
+    if (sp_axis >= 0 && sp_cost < obj_cost) {
+      did = do_spatial(refs, sp_axis, sp_pos, left, right);
+      if (!did) { left.clear(); right.clear(); }
+    }
+    if (!did && obj_axis >= 0) {
+      for (const Ref& r : refs) {
+        float cen = ((&r.lo.x)[obj_axis] + (&r.hi.x)[obj_axis]) * 0.5f;
+        int b = std::min((int)((cen - obj_orig) * obj_scale), NB - 1);
+        (b <= obj_bin ? left : right).push_back(r);
+      }
+      did = !left.empty() && !right.empty();
+      if (!did) { left.clear(); right.clear(); }
+    }
+    if (!did) {
+      // Degenerate: median split on the longest centroid axis.
+      int axis = 0;
+      V3 ext{chi.x - clo.x, chi.y - clo.y, chi.z - clo.z};
+      if (ext.y > ext[axis]) axis = 1;
+      if (ext.z > ext[axis]) axis = 2;
+      std::sort(refs.begin(), refs.end(), [axis](const Ref& a, const Ref& b) {
+        return (&a.lo.x)[axis] + (&a.hi.x)[axis] < (&b.lo.x)[axis] + (&b.hi.x)[axis];
+      });
+      int mid = n / 2;
+      left.assign(refs.begin(), refs.begin() + mid);
+      right.assign(refs.begin() + mid, refs.end());
+    }
+    refs.clear();
+    refs.shrink_to_fit();
+
+    int li = (int)nodes.size();
+    nodes.emplace_back();
+    nodes.emplace_back();
+    nodes[ni].left = li;
+    subdivide(li, std::move(left));
+    subdivide(li + 1, std::move(right));
+  }
+};
+
 struct Collapser {
   const Builder& b;
   std::vector<float>& bounds;
@@ -746,18 +1094,22 @@ namespace {
 struct Wide16Emitter {
   static constexpr int W = 16;
   static constexpr int ROWF = 96;
-  const Builder& b;
+  // Takes the BVH2 by (nodes, order) so both the binned Builder and the
+  // SBVH builder can feed it.  With SBVH, `order` is a reference list:
+  // entries are original triangle ids and may repeat across leaves.
+  const std::vector<Node2>& bnodes;
+  const std::vector<int>& border;
   const float* recs;   // (F,9) [e2,e1,v0] in ORIGINAL triangle order
   std::vector<int> sstart, scount;
   std::vector<float> rows;
   int max_depth = 0;
 
   void ranges() {
-    int n = (int)b.nodes.size();
+    int n = (int)bnodes.size();
     sstart.resize(n);
     scount.resize(n);
     for (int i = n - 1; i >= 0; --i) {
-      const Node2& nd = b.nodes[i];
+      const Node2& nd = bnodes[i];
       if (nd.count > 0) { sstart[i] = nd.start; scount[i] = nd.count; }
       else {
         int l = nd.left;
@@ -776,23 +1128,31 @@ struct Wide16Emitter {
     int my = (int)(rows.size() / ROWF);
     float* row = new_row();
     const int lo = sstart[node], cnt = scount[node];
-    const Node2& nd = b.nodes[node];
+    const Node2& nd = bnodes[node];
     row[0] = nd.lo.x; row[1] = nd.lo.y; row[2] = nd.lo.z;
-    int32_t meta = cnt;
-    std::memcpy(row + 3, &meta, 4);
     uint16_t halves[9][W] = {};
     int32_t idx[W];
     for (int k = 0; k < W; ++k) idx[k] = -1;
+    // SBVH subtrees merged into one leaf row can reference the same
+    // triangle from several fragments; pack each triangle once.
+    int packed = 0;
     for (int j = 0; j < cnt; ++j) {
-      int t = b.order[lo + j];
+      int t = border[lo + j];
+      bool dup = false;
+      for (int k = 0; k < packed; ++k)
+        if (border[idx[k]] == t) { dup = true; break; }
+      if (dup) continue;
       const float* r = recs + (size_t)t * 9;
       for (int c = 0; c < 9; ++c) {
         float v = r[c];
         if (c >= 6) v -= row[c - 6];
-        halves[c][j] = f2h(v);
+        halves[c][packed] = f2h(v);
       }
-      idx[j] = lo + j;   // attr row = BVH-order position (host permutes)
+      idx[packed] = lo + j;   // attr row = BVH-order position (host permutes)
+      ++packed;
     }
+    int32_t meta = packed;
+    std::memcpy(row + 3, &meta, 4);
     std::memcpy(row + 4, halves, 9 * W * 2);
     std::memcpy(row + 76, idx, W * 4);
     return my;
@@ -808,7 +1168,7 @@ struct Wide16Emitter {
     // whole (one leaf row each).
     int kids[W];
     int nk = 0;
-    const Node2& nd = b.nodes[node];
+    const Node2& nd = bnodes[node];
     kids[nk++] = nd.left;
     kids[nk++] = nd.left + 1;
     while (nk < W) {
@@ -816,18 +1176,18 @@ struct Wide16Emitter {
       float best = -1.f;
       for (int i = 0; i < nk; ++i) {
         int k = kids[i];
-        if (b.nodes[k].count == 0 && scount[k] > W) {
-          float a = area(b.nodes[k].lo, b.nodes[k].hi);
+        if (bnodes[k].count == 0 && scount[k] > W) {
+          float a = area(bnodes[k].lo, bnodes[k].hi);
           if (a > best) { best = a; grow = i; }
         }
       }
       if (grow < 0) break;
       int k = kids[grow];
-      kids[grow] = b.nodes[k].left;
-      kids[nk++] = b.nodes[k].left + 1;
+      kids[grow] = bnodes[k].left;
+      kids[nk++] = bnodes[k].left + 1;
     }
     std::sort(kids, kids + nk, [&](int a, int c) {
-      return area(b.nodes[a].lo, b.nodes[a].hi) > area(b.nodes[c].lo, b.nodes[c].hi);
+      return area(bnodes[a].lo, bnodes[a].hi) > area(bnodes[c].lo, bnodes[c].hi);
     });
 
     // Quantize: anchor = node lo, conservative power-of-two scales.
@@ -851,7 +1211,7 @@ struct Wide16Emitter {
     for (int c = 0; c < 3; ++c)
       for (int s = 0; s < W; ++s) { qlo[c][s] = 255; qhi[c][s] = 0; }
     for (int s = 0; s < nk; ++s) {
-      const Node2& cn = b.nodes[kids[s]];
+      const Node2& cn = bnodes[kids[s]];
       float clo[3] = {cn.lo.x, cn.lo.y, cn.lo.z};
       float chi[3] = {cn.hi.x, cn.hi.y, cn.hi.z};
       for (int c = 0; c < 3; ++c) {
@@ -886,14 +1246,31 @@ struct Wide16Emitter {
 
 }  // namespace
 
-extern "C" int build_wide16(const float* positions, const float* tri_records,
-                            int tri_count, int leaf_size, float* out_rows,
-                            int row_capacity, int32_t* out_depth,
-                            int32_t* out_order) {
+// quality: 0 = binned SAH (Builder), 1 = SBVH spatial splits (SBVHBuilder).
+// `out_order` receives the leaf reference list (original triangle ids,
+// duplicates allowed under SBVH); its length is written to *out_refs and
+// must fit order_capacity.
+extern "C" int build_wide16_ex(const float* positions, const float* tri_records,
+                               int tri_count, int leaf_size, int quality,
+                               float* out_rows, int row_capacity,
+                               int32_t* out_depth, int32_t* out_order,
+                               int order_capacity, int32_t* out_refs) {
   if (tri_count <= 0 || leaf_size <= 0 || leaf_size > 16) return -1;
-  Builder bld{positions, tri_count, leaf_size};
-  bld.build();
-  Wide16Emitter em{bld, tri_records};
+  std::vector<Node2> bnodes;
+  std::vector<int> border;
+  if (quality >= 1) {
+    SBVHBuilder sb{positions, tri_count, leaf_size};
+    sb.build();
+    bnodes = std::move(sb.nodes);
+    border = std::move(sb.order);
+  } else {
+    Builder bld{positions, tri_count, leaf_size};
+    bld.build();
+    bnodes = std::move(bld.nodes);
+    border = std::move(bld.order);
+  }
+  if ((int)border.size() > order_capacity) return -1;
+  Wide16Emitter em{bnodes, border, tri_records};
   em.ranges();
   em.emit(0, 1);
   int n = (int)(em.rows.size() / 96);
@@ -901,6 +1278,16 @@ extern "C" int build_wide16(const float* positions, const float* tri_records,
   std::memcpy(out_rows, em.rows.data(), em.rows.size() * sizeof(float));
   if (out_depth) *out_depth = em.max_depth;
   if (out_order)
-    std::memcpy(out_order, bld.order.data(), bld.order.size() * sizeof(int32_t));
+    std::memcpy(out_order, border.data(), border.size() * sizeof(int32_t));
+  if (out_refs) *out_refs = (int)border.size();
   return n;
+}
+
+extern "C" int build_wide16(const float* positions, const float* tri_records,
+                            int tri_count, int leaf_size, float* out_rows,
+                            int row_capacity, int32_t* out_depth,
+                            int32_t* out_order) {
+  return build_wide16_ex(positions, tri_records, tri_count, leaf_size, 0,
+                         out_rows, row_capacity, out_depth, out_order,
+                         tri_count, nullptr);
 }

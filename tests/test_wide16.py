@@ -21,12 +21,15 @@ from tests.test_wide8 import random_rays, random_tris, recs_of
 
 
 class FakeScene:
-    def __init__(self, tris):
+    def __init__(self, tris, quality=1):
         recs = recs_of(tris)
-        self.w16 = build_scene_wide16(tris, recs)
+        self.w16 = build_scene_wide16(tris, recs, quality=quality)
         self.wide16_nodes = jnp.asarray(self.w16.nodes)
+        # SBVH `order` is a reference list (duplicates allowed): rows of
+        # `tris` are refs; `order` maps a row back to its original tri id.
+        self.order = np.asarray(self.w16.order)
         self.tris = jnp.asarray(recs[self.w16.order])
-        self.tri_index = jnp.arange(tris.shape[0], dtype=jnp.int32)
+        self.tri_index = jnp.arange(self.order.shape[0], dtype=jnp.int32)
         self.inst_w2l = jnp.zeros((0, 12), jnp.float32)
 
 
@@ -67,9 +70,12 @@ def test_wide16_matches_bruteforce(n, thresh):
     tb, baryb, slotb, _ = closest_hit_bruteforce(scene, o, d)
     hit16 = np.asarray(slot16) >= 0
     hitb = np.asarray(slotb) >= 0
-    same = (hit16 == hitb) & (
-        ~hitb | (np.asarray(slot16) == np.asarray(scene.tri_index)[np.asarray(slotb)])
-    )
+    # Compare in ORIGINAL triangle-id space: under SBVH a triangle appears
+    # as several refs, so equal row ids are too strict — the two traversals
+    # may legitimately report different copies of the same triangle.
+    id16 = scene.order[np.maximum(np.asarray(slot16), 0)]
+    idb = scene.order[np.maximum(np.asarray(slotb), 0)]
+    same = (hit16 == hitb) & (~hitb | (id16 == idb))
     assert same.mean() >= thresh, f"only {same.mean():.4f} agree"
     both = hit16 & hitb & same
     assert both.any(), "ray set never hits the scene"
@@ -123,9 +129,13 @@ def test_wide16_tlas_instancing():
     hitb = np.asarray(slotb) >= 0
     assert (hit16 == hitb).mean() >= 0.99
     both = hit16 & hitb
-    assert (
-        np.asarray(slot16)[both] == (np.asarray(slotb)[both] % 200)
-    ).mean() >= 0.99
+    # Compare original tri ids: SBVH refs may duplicate a triangle, and the
+    # brute-force union carries one row per ref per instance.
+    order = np.asarray(w16.order)
+    nref = order.shape[0]
+    id16 = order[np.asarray(slot16)[both]]
+    idb = order[np.asarray(slotb)[both] % nref]
+    assert (id16 == idb).mean() >= 0.99
     rel = np.abs(np.asarray(t16)[both] - np.asarray(tb)[both]) / np.maximum(
         np.asarray(tb)[both], 1e-3)
     assert np.quantile(rel, 0.98) < 5e-3
@@ -231,3 +241,45 @@ def test_wide16_prestep_film_statistical():
         assert np.isfinite(films[pre]).all()
     a, b = films[True], films[False]
     assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.03
+
+
+def test_wide16_prestep_l3_hits_bitwise_equal():
+    """Level-3 prestep (bit-exact 3-limb bf16 one-hot MXU gather over the
+    256 grandchild slots) must also leave traversal results bitwise
+    unchanged vs pure arrivals."""
+    import jax
+
+    from unity_webgpu_pathtracer_tpu.accel.wide16 import (
+        derive_top16,
+        derive_top3_limbs,
+    )
+    from unity_webgpu_pathtracer_tpu.utils.math import safe_rcp
+
+    tris = random_tris(20000, seed=13)   # deep enough for 3 inner levels
+    sc = FakeScene(tris)
+    top = derive_top16(sc.w16.nodes)
+    assert top is not None
+    top3 = derive_top3_limbs(sc.w16.nodes, top)
+    assert top3 is not None and top3.shape == (3, 256, 119)
+    o, d = random_rays(4096, seed=17)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    inv = safe_rcp(d)
+
+    base = tw16.closest_hit(sc, o, d)
+
+    s0 = tw16.init_state16(4096, jnp.float32(FAR_PLANE))
+    s0 = tw16.prestep16(sc.wide16_nodes, jnp.asarray(top), o, d, inv, s0,
+                        jnp.ones(4096, bool), top3=jnp.asarray(top3))
+    # The prestep must genuinely descend 3 levels for some lanes.
+    assert int(np.asarray((s0.sp >= 2).sum())) > 0
+
+    def cond(s):
+        return jnp.any(s.ptr >= 0)
+
+    def body(s):
+        return tw16.arrival_step16(sc.wide16_nodes, o, d, inv, s, None,
+                                   has_instances=False)
+
+    sf = jax.lax.while_loop(cond, body, s0)
+    for a, b, name in ((base[0], sf.t, "t"), (base[2], sf.tri, "tri")):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name

@@ -155,42 +155,54 @@ def native_build_or_none(positions: np.ndarray, leaf_size: int = 4):
 
 
 def native_wide16_or_none(positions: np.ndarray, tri_records: np.ndarray,
-                          leaf_size: int = 4):
-    """Native wide16 build; returns (rows (N,96) f32, depth, order) or None."""
+                          leaf_size: int = 4, quality: int = 0):
+    """Native wide16 build; returns (rows (N,96) f32, depth, order) or None.
+
+    ``quality``: 0 = binned SAH, 1 = SBVH spatial splits (the reference's
+    vendored-but-unused tinybvh ``BuildHQ`` family).  With SBVH, ``order``
+    is a *reference list* — original triangle ids, length >= tri count,
+    duplicates allowed — and the host must permute attribute tables by it
+    (fancy indexing with repeats does exactly that).
+    """
     lib = _load()
     if lib is None:
         return None
     try:
-        fn = lib.build_wide16
+        fn = lib.build_wide16_ex
     except AttributeError:
         return None
     fn.restype = ctypes.c_int
     fn.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
     ]
     pos = np.ascontiguousarray(np.asarray(positions, np.float32).reshape(-1, 9))
     recs = np.ascontiguousarray(np.asarray(tri_records, np.float32).reshape(-1, 9))
     f = pos.shape[0]
-    # Worst case (degenerate splits) approaches one leaf row per few tris;
-    # use the same generous bound as wide8 (transient host memory only).
-    cap = max(f // 2 + f // 8 + 64, 16)
+    # SBVH ref budget is f + f/2 + 64 (bvh_builder.cpp); rows bound follows
+    # the refs (transient host memory only).
+    order_cap = f + f // 2 + 128
+    cap = max(order_cap // 2 + order_cap // 8 + 64, 16)
     rows = np.empty((cap, 96), np.float32)
-    order = np.empty((f,), np.int32)
+    order = np.empty((order_cap,), np.int32)
     depth = ctypes.c_int(0)
+    nrefs = ctypes.c_int(0)
     n = fn(
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         recs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        f, leaf_size,
+        f, leaf_size, quality,
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         cap, ctypes.byref(depth),
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        order_cap, ctypes.byref(nrefs),
     )
     if n <= 0:
         return None
-    return np.ascontiguousarray(rows[:n]), int(depth.value), order
+    return (np.ascontiguousarray(rows[:n]), int(depth.value),
+            order[: nrefs.value].copy())
 
 
 def native_wide8_or_none(positions: np.ndarray, tri_records: np.ndarray,

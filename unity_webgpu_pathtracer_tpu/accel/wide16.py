@@ -227,6 +227,64 @@ def build_wide16(bvh: BVH2, tri_records: np.ndarray,
 TOP_COLS = 119  # anchor 3 | scale 3 | qlo 48 | qhi 48 | ptrs 16 | meta 1
 
 
+def _decode_top_row(nodes: np.ndarray, p: int, out: np.ndarray) -> None:
+    """Decode node row ``p`` into a (TOP_COLS,) slot-table row (plain f32
+    fields, ints exact below 2^24).  ``out[118]`` (meta) is left for the
+    caller; this fills anchor/scale/qboxes/ptrs for an inner row."""
+    row = nodes[p]
+    out[0:3] = row[0:3]
+    eword = int(row[OFF_EXPS : OFF_EXPS + 1].view(np.int32)[0])
+    for c in range(3):
+        out[3 + c] = np.ldexp(np.float32(1.0), ((eword >> (8 * c)) & 0xFF) - 127)
+    qbytes = row[OFF_QBOX : OFF_QBOX + 24].view(np.uint8).astype(np.float32)
+    out[6:54] = qbytes[:48]
+    out[54:102] = qbytes[48:]
+    out[102:118] = row[OFF_PTRS : OFF_PTRS + 16].view(np.int32)
+
+
+def derive_top3_limbs(nodes: np.ndarray, top: np.ndarray | None):
+    """Level-3 slot table for the MXU one-hot prestep: (3, 256, TOP_COLS)
+    float32 carrying the 3 bf16 limbs (hi, mid, lo) of the decoded rows of
+    every grandchild slot ``k1*16 + k2``.  The 3-limb split reconstructs
+    f32 EXACTLY (8+8+8 mantissa bits cover f32's 24), so a bf16 one-hot
+    matmul against the limbs is a bit-exact 256-row gather that rides the
+    MXU instead of a ~2 ms 256-step select chain.  Returns None when the
+    scene has no level-2 inner rows."""
+    if top is None:
+        return None
+    import ml_dtypes
+
+    t3 = np.zeros((256, TOP_COLS), np.float32)
+    t3[:, 118] = 1.0
+    any_inner = False
+    for k in range(16):
+        if int(top[k, 118]) != 0:
+            continue
+        ptrs = top[k, 102:118].astype(np.int64)
+        for j in range(16):
+            p = int(ptrs[j])
+            if p < 0:
+                continue
+            meta = int(nodes[p, OFF_META : OFF_META + 1].view(np.int32)[0])
+            t3[k * 16 + j, 118] = float(meta)
+            if meta != 0:
+                continue
+            _decode_top_row(nodes, p, t3[k * 16 + j])
+            any_inner = True
+    if not any_inner:
+        return None
+
+    def bf(x):
+        return x.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+    hi = bf(t3)
+    r1 = t3 - hi
+    mid = bf(r1)
+    lo = bf(r1 - mid)
+    assert ((hi + (mid + lo)) == t3).all(), "3-limb split must be exact"
+    return np.stack([hi, mid, lo])
+
+
 def derive_top16(nodes: np.ndarray) -> np.ndarray | None:
     """Decode the root's 16 child rows into a slot-indexed (16, 119) float
     table for the gather-free traversal prestep (ops.traverse_wide16.
@@ -246,28 +304,32 @@ def derive_top16(nodes: np.ndarray) -> np.ndarray | None:
         p = int(root_ptrs[k])
         if p < 0:
             continue
-        row = nodes[p]
-        meta = int(row[OFF_META : OFF_META + 1].view(np.int32)[0])
+        meta = int(nodes[p, OFF_META : OFF_META + 1].view(np.int32)[0])
         top[k, 118] = float(meta)
         if meta != 0:
             continue
-        top[k, 0:3] = row[0:3]
-        eword = int(row[OFF_EXPS : OFF_EXPS + 1].view(np.int32)[0])
-        for c in range(3):
-            top[k, 3 + c] = np.ldexp(np.float32(1.0),
-                                     ((eword >> (8 * c)) & 0xFF) - 127)
-        qbytes = row[OFF_QBOX : OFF_QBOX + 24].view(np.uint8).astype(np.float32)
-        top[k, 6:54] = qbytes[:48]
-        top[k, 54:102] = qbytes[48:]
-        top[k, 102:118] = row[OFF_PTRS : OFF_PTRS + 16].view(np.int32)
+        _decode_top_row(nodes, p, top[k])
     return top
 
 
 def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
-                       leaf_size: int = 4) -> Wide16:
+                       leaf_size: int = 4, quality: int | None = None) -> Wide16:
+    """``quality`` 1 (default) = SBVH spatial splits in the native builder
+    (tinybvh ``BuildHQ`` family — fewer overlapping nodes, fewer arrivals
+    per ray); 0 = plain binned SAH.  The numpy fallback is always binned.
+    With SBVH the returned ``order`` is a reference list (length >= tri
+    count, duplicate triangle ids allowed); hosts permute attribute tables
+    by it, which handles repeats naturally.  ``UWPT_BVH_QUALITY`` overrides
+    the default (A/B harness knob).
+    """
+    import os
+
     from unity_webgpu_pathtracer_tpu.accel.native import native_wide16_or_none
 
-    native = native_wide16_or_none(positions, tri_records, leaf_size)
+    if quality is None:
+        quality = int(os.environ.get("UWPT_BVH_QUALITY", "1"))
+    native = native_wide16_or_none(positions, tri_records, leaf_size,
+                                   quality=quality)
     if native is not None:
         rows, depth, order = native
         assert depth < MAX_DEPTH, f"tree depth {depth} >= {MAX_DEPTH}"
@@ -421,7 +483,15 @@ def decode_leaf_tris(row: np.ndarray):
 
 
 def validate_wide16(w: Wide16, tri_count: int):
-    """Leaf coverage, quantized containment, stack-depth bound."""
+    """Leaf coverage, quantized containment, stack-depth bound.
+
+    SBVH trees (``order`` longer than ``tri_count``) duplicate straddling
+    triangles across leaves: coverage becomes >= 1 per triangle (counted in
+    original-id space via ``order``) and whole-triangle containment in the
+    child box no longer holds (leaf boxes bound clipped *fragments*), so
+    the containment check is skipped for them.
+    """
+    spatial = w.order is not None and w.order.shape[0] != tri_count
     nodes = w.nodes
     meta = nodes[:, OFF_META].view(np.int32)
     seen = np.zeros(tri_count, np.int32)
@@ -431,7 +501,10 @@ def validate_wide16(w: Wide16, tri_count: int):
         m = meta[r]
         if m > 0:
             cnt, _recs, idx = decode_leaf_tris(nodes[r])
-            seen[idx] += 1
+            if spatial:
+                seen[w.order[idx]] += 1
+            else:
+                seen[idx] += 1
         elif m < 0:
             blas = int(nodes[r, OFF_BLAS].view(np.int32))
             stack.append(blas)
@@ -449,7 +522,7 @@ def validate_wide16(w: Wide16, tri_count: int):
                 hi = anchor + qb[3:6, k] * scale
                 child = ptrs[k]
                 cm = meta[child]
-                if cm > 0:
+                if cm > 0 and not spatial:
                     _cnt, recs, _idx = decode_leaf_tris(nodes[child])
                     v0 = recs[:, 6:9]
                     v1 = v0 + recs[:, 3:6]
@@ -460,5 +533,8 @@ def validate_wide16(w: Wide16, tri_count: int):
                     assert (pts <= hi + 1e-2 + 1e-3 * np.abs(pts)).all(), \
                         "leaf not contained"
                 stack.append(child)
-    assert (seen == 1).all(), "leaf coverage broken"
+    if spatial:
+        assert (seen >= 1).all(), "leaf coverage broken (SBVH refs)"
+    else:
+        assert (seen == 1).all(), "leaf coverage broken"
     assert w.depth < MAX_DEPTH

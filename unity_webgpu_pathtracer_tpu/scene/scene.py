@@ -101,6 +101,11 @@ class SceneData(NamedTuple):
     # prestep; (1, 119) placeholder disables level 2 statically.
     wide16_top: jnp.ndarray = _z(1, 119)
 
+    # Level-3 slot table as 3 bf16 limbs ((3, 256, 119), see
+    # accel.wide16.derive_top3_limbs): a bit-exact one-hot MXU matmul
+    # gather for prestep level 3; (3, 1, 119) placeholder disables it.
+    wide16_top3: jnp.ndarray = _z(3, 1, 119)
+
     # Stack planes the wide8/wide16 register-stack traversal needs for THIS
     # scene: the SHAPE is the actual tree depth + margin (static), so the
     # (D, B) stack arrays and their per-arrival top-reads scale with the
@@ -210,10 +215,12 @@ class Scene:
         wide2 = None
         stack_depth = 24
         wide16_top = np.zeros((1, 119), np.float32)
+        wide16_top3 = np.zeros((3, 1, 119), np.float32)
         if traversal == "wide16":
             from unity_webgpu_pathtracer_tpu.accel.wide16 import (
                 build_scene_wide16,
                 derive_top16,
+                derive_top3_limbs,
             )
 
             w16 = build_scene_wide16(flat.positions, tris)
@@ -222,8 +229,15 @@ class Scene:
             top = derive_top16(wide16)
             if top is not None:
                 wide16_top = top
+                top3 = derive_top3_limbs(wide16, top)
+                if top3 is not None:
+                    wide16_top3 = top3
             # Leaf rows index attributes by BVH-order position (same
-            # permutation contract as wide8 below).
+            # permutation contract as wide8 below).  With the SBVH builder
+            # `order` is a reference list (len >= tri count, duplicate ids
+            # allowed): the fancy-indexed permutes below replicate rows for
+            # duplicated refs, so every leaf lane still finds its record
+            # and attributes at its own order position.
             order = w16.order
             tris = tris[order]
             flat = FlatTriangles(
@@ -233,6 +247,8 @@ class Scene:
                 uvs=flat.uvs[order],
                 material=flat.material[order],
             )
+            m = flat.count
+            tri_index = np.arange(m, dtype=np.int32)
             bounds = np.zeros((1, 48), np.float32)
             child = np.zeros((1, 8), np.int32)
         elif traversal == "wide8":
@@ -330,6 +346,7 @@ class Scene:
             wide8_nodes=jnp.asarray(wide8),
             wide16_nodes=jnp.asarray(wide16),
             wide16_top=jnp.asarray(wide16_top),
+            wide16_top3=jnp.asarray(wide16_top3),
             stack_levels=jnp.zeros((stack_depth,), jnp.int32),
             **extra,
         )
@@ -369,14 +386,16 @@ class Scene:
                 p = flat.positions.reshape(-1, 3)
                 blas_bounds.append((p.min(0), p.max(0)))
                 # Per-mesh BVH-order permutation (leaf idx are mesh-local
-                # BVH positions + attr_base).
+                # BVH positions + attr_base).  SBVH ref lists (wide16) may
+                # be longer than the mesh's tri count; the permuted part
+                # then carries one row per ref.
                 o = w8.order
                 parts.append(FlatTriangles(
                     positions=flat.positions[o], normals=flat.normals[o],
                     tangents=flat.tangents[o], uvs=flat.uvs[o],
                     material=flat.material[o]))
                 attr_bases.append(attr_base)
-                attr_base += flat.count
+                attr_base += int(o.shape[0])
             setattr(self, cache_attr, (blas, blas_bounds, parts, attr_bases))
         blas, blas_bounds, parts, attr_bases = getattr(self, cache_attr)
 
