@@ -22,9 +22,14 @@ super-iteration, while the fused transition's elementwise code is only
   unrolled select chains.
 
 Correctness contract: bit-identical state evolution to
-``arrival_step16(..., has_instances=False)`` — verified by
+``arrival_step16`` (modulo FMA-contraction ulp) — verified by
 ``tests/test_pallas_arrival.py`` in interpret mode (CPU) and compiled
-(TPU).  Instanced (TLAS) scenes keep the jnp path.
+(TPU).  Instanced (TLAS) scenes run the same kernel with the instance-row
+extension (``has_inst``): world->local ray transform on instance rows,
+local-ray selection for slab/MT, instance exit on pop below the entry
+height — mirroring ``traverse_wide16.arrival_step16``'s
+``has_instances`` path (reference semantics: ``util/tlas.hlsl:131-135``,
+unnormalized local direction so reported t stays world-scaled).
 """
 
 from __future__ import annotations
@@ -72,14 +77,21 @@ def _f16_bits_to_f32(bits):
     return jnp.where(e == 0, sub, normal)
 
 
-def _arrival_kernel(
-    transpose_in_kernel,
-    rowT_ref, oT_ref, dT_ref, invT_ref, live_ref,
-    ptr_ref, pend_ref, sp_ref, t_ref, u_ref, v_ref, tri_ref, found_ref,
-    srow_ref, smask_ref,
-    optr_ref, opend_ref, osp_ref, ot_ref, ou_ref, ov_ref, otri_ref,
-    ofound_ref, osrow_ref, osmask_ref,
-):
+def _arrival_kernel(transpose_in_kernel, has_inst, *refs):
+    if has_inst:
+        (rowT_ref, oT_ref, dT_ref, invT_ref, live_ref,
+         ptr_ref, pend_ref, sp_ref, t_ref, u_ref, v_ref, tri_ref, found_ref,
+         srow_ref, smask_ref, inst_ref, hinst_ref, spent_ref,
+         loT_ref, ldT_ref, linvT_ref,
+         optr_ref, opend_ref, osp_ref, ot_ref, ou_ref, ov_ref, otri_ref,
+         ofound_ref, osrow_ref, osmask_ref, oinst_ref, ohinst_ref,
+         ospent_ref, oloT_ref, oldT_ref, olinvT_ref) = refs
+    else:
+        (rowT_ref, oT_ref, dT_ref, invT_ref, live_ref,
+         ptr_ref, pend_ref, sp_ref, t_ref, u_ref, v_ref, tri_ref, found_ref,
+         srow_ref, smask_ref,
+         optr_ref, opend_ref, osp_ref, ot_ref, ou_ref, ov_ref, otri_ref,
+         ofound_ref, osrow_ref, osmask_ref) = refs
     depth = srow_ref.shape[0]
     # Rows normally arrive pre-transposed (96, BLK): XLA's fused
     # gather+transpose (~2.8 ms/arrival) measured FASTER than Mosaic's
@@ -97,9 +109,23 @@ def _arrival_kernel(
     is_leaf = live & (meta > 0)
     is_inner = live & (meta == 0)
 
-    o = oT_ref[:]                                        # (3, BLK)
-    d = dT_ref[:]
-    inv = invT_ref[:]
+    o_w = oT_ref[:]                                      # (3, BLK) world
+    d_w = dT_ref[:]
+    inv_w = invT_ref[:]
+    if has_inst:
+        # Lanes inside a BLAS subtree trace with their instance-local ray
+        # (arrival_step16's in_blas selection).
+        inst0 = inst_ref[:]
+        lo_l = loT_ref[:]                                # (3, BLK)
+        ld_l = ldT_ref[:]
+        linv_l = linvT_ref[:]
+        in_blas = (inst0 >= 0)[None, :]
+        o = jnp.where(in_blas, lo_l, o_w)
+        d = jnp.where(in_blas, ld_l, d_w)
+        inv = jnp.where(in_blas, linv_l, inv_w)
+        is_inst = live & (meta < 0)
+    else:
+        o, d, inv = o_w, d_w, inv_w
 
     # ---- inner: decode 16 quantized child boxes, slab-test ----
     eword = rowT_i[4]                                    # (BLK,)
@@ -197,6 +223,9 @@ def _arrival_kernel(
     otri_ref[:] = jnp.where(
         improved, jnp.sum(jnp.where(onehot_b, attrs, 0), axis=0), tri_ref[:])
     ofound_ref[:] = (found_ref[:] != 0).astype(jnp.int32) | improved.astype(jnp.int32)
+    if has_inst:
+        # Record the instance of the best hit (pre-update inst, as in jnp).
+        ohinst_ref[:] = jnp.where(improved, inst0, hinst_ref[:])
 
     # ---- stack push + pop (select chains over the D planes) ----
     # A pushing lane never pops in the same arrival (push ⇒ found_child ⇒
@@ -221,23 +250,71 @@ def _arrival_kernel(
     pop_pend = jnp.where(top_mask == 0, FULL, top_mask)
     sp_after = jnp.where(need_pop & has, sp_pushed - 1, sp_pushed)
 
-    new_ptr = jnp.where(found_child, child_ptr,
-                        jnp.where(need_pop, pop_ptr, ptr))
-    new_pend = jnp.where(found_child, FULL,
-                         jnp.where(need_pop,
-                                   jnp.where(has, pop_pend, FULL), pend))
+    if not has_inst:
+        new_ptr = jnp.where(found_child, child_ptr,
+                            jnp.where(need_pop, pop_ptr, ptr))
+        new_pend = jnp.where(found_child, FULL,
+                             jnp.where(need_pop,
+                                       jnp.where(has, pop_pend, FULL), pend))
+        optr_ref[:] = jnp.where(live, new_ptr, ptr)
+        opend_ref[:] = jnp.where(live, new_pend, pend)
+        osp_ref[:] = jnp.where(live, sp_after, sp)
+        return
+
+    # ---- instance rows: enter instance space, jump to the BLAS root ----
+    # Same arithmetic order as arrival_step16's w2l application so results
+    # stay bit-identical: ((m0*o0 + m1*o1) + m2*o2) + m3.
+    inst_id = -meta - 1
+    w2l = rowT[4:16]                                     # (12, BLK) floats
+    lo3 = [w2l[4 * c + 0] * o_w[0] + w2l[4 * c + 1] * o_w[1]
+           + w2l[4 * c + 2] * o_w[2] + w2l[4 * c + 3] for c in range(3)]
+    ld3 = [w2l[4 * c + 0] * d_w[0] + w2l[4 * c + 1] * d_w[1]
+           + w2l[4 * c + 2] * d_w[2] for c in range(3)]
+    lo3 = jnp.concatenate([x[None, :] for x in lo3], axis=0)   # (3, BLK)
+    ld3 = jnp.concatenate([x[None, :] for x in ld3], axis=0)
+    # utils.math.safe_rcp inlined (zero components nudged to 1e-30).
+    ld_nz = jnp.where(ld3 == 0.0, jnp.float32(1.0e-30), ld3)
+    linv3 = 1.0 / ld_nz
+    e1 = is_inst[None, :]
+    oloT_ref[:] = jnp.where(e1, lo3, lo_l)
+    oldT_ref[:] = jnp.where(e1, ld3, ld_l)
+    olinvT_ref[:] = jnp.where(e1, linv3, linv_l)
+    inst_new = jnp.where(is_inst, inst_id, inst0)
+    # sp at instance entry (push never coincides with an instance row).
+    spent0 = spent_ref[:]
+    spent_new = jnp.where(is_inst, sp_pushed, spent0)
+    blas_root = rowT_i[16]
+
+    # Popping below the instance-entry height returns the lane to world
+    # space (all entries at or above it are BLAS-local).
+    exited = need_pop & (inst0 >= 0) & (sp_after < spent_new)
+    inst_final = jnp.where(exited | (need_pop & ~has), -1, inst_new)
+
+    new_ptr = jnp.where(
+        is_inst, blas_root,
+        jnp.where(found_child, child_ptr,
+                  jnp.where(need_pop, pop_ptr, ptr)))
+    new_pend = jnp.where(
+        is_inst | found_child, FULL,
+        jnp.where(need_pop, jnp.where(has, pop_pend, FULL), pend))
     optr_ref[:] = jnp.where(live, new_ptr, ptr)
     opend_ref[:] = jnp.where(live, new_pend, pend)
     osp_ref[:] = jnp.where(live, sp_after, sp)
+    oinst_ref[:] = jnp.where(live, inst_final, inst0)
+    ospent_ref[:] = jnp.where(live, spent_new, spent0)
 
 
 def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
                           interpret: bool = False,
-                          transpose_in_kernel: bool = False) -> Wide16State:
-    """Drop-in arrival for no-instance scenes.
+                          transpose_in_kernel: bool = False,
+                          has_instances: bool = False) -> Wide16State:
+    """Drop-in arrival; ``has_instances`` adds the TLAS instance-row path.
 
     ``oT``/``dT``/``invT`` are the (3, B) transposes of the ray arrays —
-    transpose them ONCE per super-iteration, not per arrival.
+    transpose them ONCE per super-iteration, not per arrival.  The
+    instance-local ray registers are carried through the kernel as (3, B)
+    planes (transposed per call; XLA assigns the layouts, measured free at
+    these shapes).
     """
     b = s.ptr.shape[0]
     blk = BLK
@@ -253,7 +330,7 @@ def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
 
     grid = b // blk
 
-    def col():
+    def col(dt=jnp.int32):
         return pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM)
 
     def plane(rows):
@@ -264,34 +341,57 @@ def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
                              memory_space=pltpu.VMEM)
                 if transpose_in_kernel else plane(96))
 
+    def cshape(dt=jnp.int32):
+        return jax.ShapeDtypeStruct((b,), dt)
+
     out_shapes = [
-        jax.ShapeDtypeStruct((b,), jnp.int32),    # ptr
-        jax.ShapeDtypeStruct((b,), jnp.int32),    # pend
-        jax.ShapeDtypeStruct((b,), jnp.int32),    # sp
-        jax.ShapeDtypeStruct((b,), jnp.float32),  # t
-        jax.ShapeDtypeStruct((b,), jnp.float32),  # u
-        jax.ShapeDtypeStruct((b,), jnp.float32),  # v
-        jax.ShapeDtypeStruct((b,), jnp.int32),    # tri
-        jax.ShapeDtypeStruct((b,), jnp.int32),    # found (int mask)
+        cshape(),             # ptr
+        cshape(),             # pend
+        cshape(),             # sp
+        cshape(jnp.float32),  # t
+        cshape(jnp.float32),  # u
+        cshape(jnp.float32),  # v
+        cshape(),             # tri
+        cshape(),             # found (int mask)
         jax.ShapeDtypeStruct((depth, b), jnp.int32),  # stack_row
         jax.ShapeDtypeStruct((depth, b), jnp.int32),  # stack_mask
     ]
+    in_specs = ([row_spec, plane(3), plane(3), plane(3), col()]
+                + [col()] * 8 + [plane(depth)] * 2)
+    out_specs = [col()] * 8 + [plane(depth)] * 2
+    ins = [rows_in, oT, dT, invT, live.astype(jnp.int32),
+           s.ptr, s.pend, s.sp, s.t, s.u, s.v, s.tri,
+           s.found.astype(jnp.int32),
+           s.stack_row, s.stack_mask]
+    if has_instances:
+        in_specs += [col()] * 3 + [plane(3)] * 3
+        out_specs += [col()] * 3 + [plane(3)] * 3
+        ins += [s.inst, s.hit_inst, s.sp_enter,
+                s.local_o.T, s.local_d.T, s.local_inv.T]
+        out_shapes += [
+            cshape(),   # inst
+            cshape(),   # hit_inst
+            cshape(),   # sp_enter
+            jax.ShapeDtypeStruct((3, b), jnp.float32),  # local_o
+            jax.ShapeDtypeStruct((3, b), jnp.float32),  # local_d
+            jax.ShapeDtypeStruct((3, b), jnp.float32),  # local_inv
+        ]
     import functools
 
     outs = pl.pallas_call(
-        functools.partial(_arrival_kernel, transpose_in_kernel),
+        functools.partial(_arrival_kernel, transpose_in_kernel,
+                          has_instances),
         grid=(grid,),
-        in_specs=[row_spec, plane(3), plane(3), plane(3), col()]
-        + [col()] * 8 + [plane(depth)] * 2,
-        out_specs=[col()] * 8 + [plane(depth)] * 2,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(
-        rows_in, oT, dT, invT, live.astype(jnp.int32),
-        s.ptr, s.pend, s.sp, s.t, s.u, s.v, s.tri,
-        s.found.astype(jnp.int32),
-        s.stack_row, s.stack_mask,
-    )
-    (ptr, pend, sp, t, u, v, tri, found, srow, smask) = outs
-    return s._replace(ptr=ptr, pend=pend, sp=sp, t=t, u=u, v=v, tri=tri,
-                      found=found != 0, stack_row=srow, stack_mask=smask)
+    )(*ins)
+    (ptr, pend, sp, t, u, v, tri, found, srow, smask) = outs[:10]
+    s = s._replace(ptr=ptr, pend=pend, sp=sp, t=t, u=u, v=v, tri=tri,
+                   found=found != 0, stack_row=srow, stack_mask=smask)
+    if has_instances:
+        inst, hinst, spent, loT, ldT, linvT = outs[10:]
+        s = s._replace(inst=inst, hit_inst=hinst, sp_enter=spent,
+                       local_o=loT.T, local_d=ldT.T, local_inv=linvT.T)
+    return s
