@@ -69,6 +69,11 @@ class RenderConfig:
     has_lights: bool = False
     has_textures: bool = False
     has_tlas: bool = False
+    # Live normal mapping (the reference ships this disabled,
+    # util/material.hlsl:114-133): tangents are gathered and the shading
+    # normal perturbed only when this static flag is on — scenes without
+    # normal maps pay nothing.
+    has_normal_maps: bool = False
 
     # Thin-lens DoF active (camera.hlsl:22). Static so the pinhole path
     # compiles without the lens sampling code, like Aperture==0 in-kernel.
@@ -76,6 +81,11 @@ class RenderConfig:
 
     # Traversal backend: "bruteforce" | "bvh2" | "mbvh" | "skip" | "wide"
     # | "wide2" | "wide8" | "wide16".
+    # Supported tiers: "wide16" is PRODUCTION, "wide8" the mid-tier
+    # cross-check, "bruteforce" the oracle (megakernel integrator).  The
+    # rest (skip/mbvh/wide/wide2) are FROZEN experiment backends — kept
+    # importable and correct for A/B archaeology (docs/PERFORMANCE.md
+    # records why each lost), not performance-maintained.
     traversal: str = "mbvh"
 
     # Octant-specialized DFS orders for the wide format (1 or 8): 8 orders
@@ -97,14 +107,33 @@ class RenderConfig:
 
     # Run wide16 arrivals through the Pallas kernel (ops.pallas_arrival):
     # one kernel per arrival instead of ~20 XLA fusions of decode/slab/MT/
-    # stack plumbing. No-instance scenes only; ignored elsewhere.
+    # stack plumbing. Covers instanced (TLAS) scenes via the kernel's
+    # instance-row extension.
     use_pallas_arrival: bool = False
+
+    # Chunked lane film (fused integrator): the shared work queue hands
+    # out chunks of consecutive samples of one pixel; radiance accumulates
+    # in-lane, completed chunks park in one flush slot per lane, and an
+    # outer loop scatters all slots every chunk-size super-iterations —
+    # amortizing the film scatter's 40 ns/update x B hardware floor
+    # (10.35 ms/transition at B=262k) by the chunk size.  False = legacy
+    # per-transition scatter-add film.
+    # DEFAULT OFF: measured SLOWER on the bench (26 vs 14.4 s/pass at
+    # te=10 despite the 8x rarer scatter — docs/PERFORMANCE.md round-3
+    # notes); films are bit-identical either way, so the flag stays.
+    use_lane_film: bool = False
 
     # Gather-free first-arrival prestep for fresh ray segments (wide16):
     # the root level (and, for non-instanced scenes, the second level) is
     # descended from broadcast constants / a slot select chain instead of
     # HBM row gathers (ops.traverse_wide16.prestep16).
     use_prestep: bool = True
+
+    # Prestep depth: 2 = root + child-slot select chain; 3 adds a THIRD
+    # gather-free level via a bit-exact 3-limb bf16 one-hot MXU matmul over
+    # the 256 grandchild slots (accel.wide16.derive_top3_limbs) — the
+    # 256-step select chain alternative costs ~2 ms and cancels the win.
+    prestep_levels: int = 2
 
     dtype: Any = jnp.float32
 

@@ -18,6 +18,18 @@ There is no synchronization point anywhere between path starts: mean path
 cost, not worst-case, governs throughput — the property the per-bounce
 barrier integrators fundamentally lack on TPU.
 
+Film accumulation (``config.use_lane_film``, default): the work queue
+hands out chunks of ``ch`` consecutive samples of one pixel; a lane
+accumulates its chunk's radiance in-register and deposits ONE
+(pixel, rgb) record in its flush slot at chunk completion.  An outer loop
+scatters all B slots every ``ch`` super-iterations — the per-transition
+film scatter (the TPU has no vector scatter; ~40 ns x B per op, 10.35 ms
+at B=262k = the round-2 #2 cost) amortizes by ``ch``.  Dynamic queue
+balancing is preserved (fixed lane->pixel ownership measured occupancy
+0.55 vs 0.96).  Per-sample radiance is bit-identical to the legacy
+scatter film (same (pixel, sample) seeds); only scatter-add association
+differs (1-ulp film tolerance; the legacy path remains selectable).
+
 State machine modes::
 
     PRIMARY ──hit──> (shade) ──env NEE──> SHADOW_ENV ──> (apply, light NEE)
@@ -86,6 +98,17 @@ MODE_DEAD = 3
 TRANSITION_EVERY = 4  # default; RenderConfig.transition_every overrides
 
 
+def _chunk_size(config: RenderConfig, spp_l: int) -> int:
+    """Samples per work-queue chunk for the lane film: the largest divisor
+    of the shard's samples-per-pass <= 8.  The film scatter amortizes by
+    this factor; larger chunks coarsen queue balancing, and 8 already cuts
+    the 10.35 ms scatter to ~1.3 ms amortized."""
+    for c in (8, 4, 2, 1):
+        if spp_l % c == 0:
+            return c
+    return 1
+
+
 class FusedState(NamedTuple):
     mode: jnp.ndarray          # (B,) int32
     trav: WideState            # active traversal registers
@@ -110,12 +133,22 @@ class FusedState(NamedTuple):
     prev_pdf: jnp.ndarray      # (B,)
     lane_cap: jnp.ndarray      # (B,) int32 transition budget (alpha guard)
 
-    film: jnp.ndarray          # (npix,3)
-    queue_head: jnp.ndarray    # ()
+    film: jnp.ndarray          # (npix,3) [legacy scatter film; (1,3) dummy]
+    queue_head: jnp.ndarray    # () samples started (legacy: queue cursor)
     arrivals: jnp.ndarray      # () int64-ish counter (int32)
     rays: jnp.ndarray          # () closest+shadow rays started
     busy: jnp.ndarray          # () lanes busy ticks
     ticks: jnp.ndarray         # ()
+
+    # Chunked lane film (config.use_lane_film): the queue hands out chunks
+    # of `ch` consecutive samples of one pixel; radiance accumulates
+    # in-lane and completed chunks sit in one flush slot per lane until
+    # the outer loop's periodic scatter.
+    accum: jnp.ndarray = jnp.zeros((1, 3))   # (B,3) current chunk radiance
+    samp_i: jnp.ndarray = jnp.zeros(1, jnp.int32)      # (B,) index in chunk
+    samp_i_base: jnp.ndarray = jnp.zeros(1, jnp.int32)  # (B,) chunk sample base
+    flush_pix: jnp.ndarray = jnp.zeros(1, jnp.int32)   # (B,) slot pixel (npix = empty)
+    flush_rgb: jnp.ndarray = jnp.zeros((1, 3))         # (B,3) slot radiance
 
 
 def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
@@ -124,11 +157,12 @@ def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
     ``entry`` is the root position code: 0 for the unified wide format
     (row index space), ``scene.wide2_entry`` for the split format (signed
     code space, where a ``pending`` register also needs clearing).
-    """
-    from unity_webgpu_pathtracer_tpu.ops.traverse_wide2 import Wide2State
-    from unity_webgpu_pathtracer_tpu.ops.traverse_wide8 import Wide8State
-    from unity_webgpu_pathtracer_tpu.ops.traverse_wide16 import Wide16State
 
+    Backend-specific registers are reset by duck-typing on the state's
+    NamedTuple fields (``pending`` = wide2's parked leaf; ``pend``/``sp``
+    = the register-mask stacks, FULL mask 0xFFFF for wide16's
+    ``stack_mask`` layout vs 0xFF for wide8) — no per-backend type chain.
+    """
     m3 = mask[:, None]
     tr = s.trav
     root = 0 if entry is None else entry
@@ -142,18 +176,16 @@ def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
         inst=jnp.where(mask, -1, tr.inst),
         hit_inst=jnp.where(mask, -1, tr.hit_inst),
     )
-    if isinstance(tr, Wide2State):
-        trav = trav._replace(pending=jnp.where(mask, 0, tr.pending))
-    if isinstance(tr, Wide8State):
-        trav = trav._replace(
-            pend=jnp.where(mask, 0xFF, tr.pend),
-            sp=jnp.where(mask, 0, tr.sp),
-        )
-    if isinstance(tr, Wide16State):
-        trav = trav._replace(
-            pend=jnp.where(mask, 0xFFFF, tr.pend),
-            sp=jnp.where(mask, 0, tr.sp),
-        )
+    fields = tr._fields
+    extra = {}
+    if "pending" in fields:
+        extra["pending"] = jnp.where(mask, 0, tr.pending)
+    if "pend" in fields:
+        full = 0xFFFF if "stack_mask" in fields else 0xFF
+        extra["pend"] = jnp.where(mask, full, tr.pend)
+        extra["sp"] = jnp.where(mask, 0, tr.sp)
+    if extra:
+        trav = trav._replace(**extra)
     return s._replace(
         trav=trav,
         trav_o=jnp.where(m3, o, s.trav_o),
@@ -169,28 +201,43 @@ def _interp(bary, attr, width):
     return a0 * w0 + a1 * bary[:, 0:1] + a2 * bary[:, 1:2]
 
 
+def _light_hit_step(rec, i, o, d, t_best, idx):
+    """One rect light tested against all lanes (``intersect.hlsl:29-54``)."""
+    is_rect = rec[3] == 3.0
+    pos, u, v = rec[0:3], rec[8:11], rec[12:15]
+    n = normalize(cross(u, v))
+    dt = dot(d, jnp.broadcast_to(n, d.shape))
+    tt = (jnp.sum(n * pos) - dot(o, jnp.broadcast_to(n, o.shape))) / jnp.where(dt == 0, 1e-20, dt)
+    p = o + d * tt[:, None]
+    vi = p - pos
+    a1 = dot(jnp.broadcast_to(u / jnp.maximum(jnp.sum(u * u), 1e-20), p.shape), vi)
+    a2 = dot(jnp.broadcast_to(v / jnp.maximum(jnp.sum(v * v), 1e-20), p.shape), vi)
+    hit = (
+        is_rect & (tt > EPSILON) & (tt < t_best)
+        & (a1 >= 0) & (a1 <= 1) & (a2 >= 0) & (a2 <= 1) & (dt < 0)
+    )
+    return jnp.where(hit, tt, t_best), jnp.where(hit, i, idx)
+
+
 def _analytic_light_hit(scene, o, d, t):
-    """Closest rect-light hit below t (``intersect.hlsl:29-54``); returns
-    (hit_mask, t_light, light_index)."""
+    """Closest rect-light hit below t; returns (hit_mask, t_light,
+    light_index).  Small light tables unroll (lets XLA fuse across
+    lights); larger ones run an on-device ``fori_loop`` so compile size
+    and code bloat stay FLAT in light count (the reference loops on-GPU,
+    ``util/intersect.hlsl:31``) while memory stays (B,)-shaped.
+    """
     t_best = t
     idx = jnp.full(t.shape, -1, jnp.int32)
-    for i in range(scene.lights.shape[0]):
-        rec = scene.lights[i]
-        is_rect = rec[3] == 3.0
-        pos, u, v = rec[0:3], rec[8:11], rec[12:15]
-        n = normalize(cross(u, v))
-        dt = dot(d, jnp.broadcast_to(n, d.shape))
-        tt = (jnp.sum(n * pos) - dot(o, jnp.broadcast_to(n, o.shape))) / jnp.where(dt == 0, 1e-20, dt)
-        p = o + d * tt[:, None]
-        vi = p - pos
-        a1 = dot(jnp.broadcast_to(u / jnp.maximum(jnp.sum(u * u), 1e-20), p.shape), vi)
-        a2 = dot(jnp.broadcast_to(v / jnp.maximum(jnp.sum(v * v), 1e-20), p.shape), vi)
-        hit = (
-            is_rect & (tt > EPSILON) & (tt < t_best)
-            & (a1 >= 0) & (a1 <= 1) & (a2 >= 0) & (a2 <= 1) & (dt < 0)
-        )
-        t_best = jnp.where(hit, tt, t_best)
-        idx = jnp.where(hit, i, idx)
+    lcount = scene.lights.shape[0]
+    if lcount <= 4:
+        for i in range(lcount):
+            t_best, idx = _light_hit_step(scene.lights[i], i, o, d, t_best, idx)
+    else:
+        def body(i, carry):
+            t_b, ix = carry
+            return _light_hit_step(scene.lights[i], i, o, d, t_b, ix)
+
+        t_best, idx = jax.lax.fori_loop(0, lcount, body, (t_best, idx))
     return idx >= 0, t_best, idx
 
 
@@ -275,6 +322,11 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     normal = normalize(_interp(sel_bary, shade_row[:, 0:9], 3))
     uv = _interp(sel_bary, shade_row[:, 9:15], 2)
     mat_idx = jax.lax.bitcast_convert_type(shade_row[:, 15], jnp.int32)
+    if config.has_normal_maps:
+        # Dedicated tangent gather — only compiled in when the scene
+        # carries normal maps (static flag).
+        tangent = normalize(_interp(
+            sel_bary, scene.attr_tangents[attr], 3))
     if has_tlas:
         from unity_webgpu_pathtracer_tpu.render.hitinfo import (
             instance_material_override,
@@ -282,8 +334,15 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         )
 
         normal = instance_normal_to_world(scene, sel_inst, normal)
+        if config.has_normal_maps:
+            tangent = instance_normal_to_world(scene, sel_inst, tangent)
         mat_idx = instance_material_override(scene, sel_inst, mat_idx)
     mdata = gather_small(scene.materials, jnp.maximum(mat_idx, 0))
+    if config.has_normal_maps:
+        from unity_webgpu_pathtracer_tpu.scene.material import apply_normal_map
+
+        normal = apply_normal_map(mdata, uv, normal, tangent,
+                                  scene.texture_data, config.has_textures)
     mat = derive_material(mdata, uv, s.path_d, normal,
                           scene.texture_data, config.has_textures)
     max_roughness = jnp.where(shade, jnp.maximum(s.max_roughness, mat.roughness),
@@ -460,21 +519,13 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         | (to_bsdf & ~continue_ray)
         | cap_exhausted
     )
-    # Splat with firefly clamp.
+    # Death radiance with firefly clamp.
     rad_out = radiance
     if config.use_firefly_filter:
         lum = luminance(rad_out)
         scale = jnp.where(lum > params.max_firefly_luminance,
                           params.max_firefly_luminance / jnp.maximum(lum, 1e-20), 1.0)
         rad_out = rad_out * scale[:, None]
-    # Film rows are shard-local; s.pixel is global. Lanes that did NOT die
-    # are routed one-past-the-end and dropped by the scatter (JAX's default
-    # out-of-bounds drop semantics): routing them to pixel 0 with a zero
-    # value instead serialized ~85% duplicate updates inside the scatter
-    # kernel — profiled at 10.5 ms of the 65 ms super-iteration
-    # (experiments/round4_profile.py).
-    pix_local = s.pixel - jnp.asarray(shard[0], jnp.int32)
-    film = s.film.at[jnp.where(died, pix_local, s.film.shape[0])].add(rad_out)
 
     # Continuing bounce: new primary ray (position comes from the unified
     # hit frame for both passthrough and BSDF continuation). A cap-exhausted
@@ -497,22 +548,82 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     hit_tri = jnp.where(saved, s.trav.tri, s.hit_tri)
     hit_inst = jnp.where(saved, s.trav.hit_inst, s.hit_inst)
 
-    # Regeneration into dead lanes. Under multichip sharding the shard owns
-    # pixels [pixel_base, pixel_base + npix_l) and a disjoint sample-index
-    # block; seeds stay (global pixel, global sample), identical to the
-    # single-chip pass.
-    dead_now = new_mode == MODE_DEAD
     pixel_base, npix_l, sample_base = shard
-    remaining = budget - s.queue_head
-    rank = jnp.cumsum(dead_now.astype(jnp.int32)) - 1
-    work_id = s.queue_head + rank
-    take = dead_now & (rank < remaining)
-    pixel_new = (work_id % npix_l).astype(jnp.uint32) + jnp.asarray(pixel_base, jnp.uint32)
-    sample_new = (
-        (work_id // npix_l).astype(jnp.uint32)
-        + jnp.asarray(current_sample, jnp.uint32)
-        + jnp.asarray(sample_base, jnp.uint32)
-    )
+    dead_now = new_mode == MODE_DEAD
+    spp_l = budget // npix_l
+
+    if config.use_lane_film:
+        # ---- chunked lane accumulation + deferred flush ----
+        # The shared work queue hands out CHUNKS of `ch` consecutive
+        # samples of one pixel (dynamic balancing exactly like the sample
+        # queue — fixed lane->pixel ownership measured occupancy 0.55 vs
+        # 0.96).  Deaths accumulate radiance in-lane; a completed chunk
+        # writes ONE (pixel, rgb) flush-slot record, and the outer pass
+        # loop scatters all B slots every M <= ch super-iterations —
+        # cutting the film scatter's 40 ns/update x B hardware floor by
+        # ~ch x.  A lane can complete at most one chunk per M transitions
+        # (each sample needs >= 1 transition), so one slot per lane
+        # suffices.  Seeds stay (global pixel, global sample): per-sample
+        # radiance is bit-identical to the legacy path; only scatter-add
+        # association differs.
+        ch = _chunk_size(config, spp_l)
+        accum = s.accum + jnp.where(died[:, None], rad_out, 0.0)
+        chunk_done = died & (s.samp_i >= ch - 1)
+        pix_local = s.pixel - jnp.asarray(pixel_base, jnp.int32)
+        # Empty slot sentinel = npix_l (JAX scatter drops OOB); -1 would
+        # WRAP to the last film row.
+        flush_pix = jnp.where(chunk_done, pix_local, s.flush_pix)
+        flush_rgb = jnp.where(chunk_done[:, None], accum, s.flush_rgb)
+        accum = jnp.where(chunk_done[:, None], 0.0, accum)
+
+        chunks_total = npix_l * (spp_l // ch)
+        need_chunk = dead_now & (s.samp_i >= ch - 1)
+        remaining = chunks_total - s.queue_head
+        rank = jnp.cumsum(need_chunk.astype(jnp.int32)) - 1
+        chunk_id = s.queue_head + rank
+        take_next = need_chunk & (rank < remaining)
+        take_same = dead_now & (s.samp_i < ch - 1)
+        take = take_next | take_same
+        samp_i = jnp.where(take_next, 0,
+                           jnp.where(take_same, s.samp_i + 1, s.samp_i))
+        samp_i_base = jnp.where(
+            take_next, (chunk_id // npix_l) * ch, s.samp_i_base)
+        pixel_new = jnp.where(
+            take_next, (chunk_id % npix_l),
+            jnp.maximum(pix_local, 0)).astype(jnp.uint32) + jnp.asarray(
+            pixel_base, jnp.uint32)
+        sample_new = (
+            (samp_i_base + samp_i).astype(jnp.uint32)
+            + jnp.asarray(current_sample, jnp.uint32)
+            + jnp.asarray(sample_base, jnp.uint32)
+        )
+        film = s.film
+        queue_head = s.queue_head + jnp.minimum(
+            jnp.sum(need_chunk.astype(jnp.int32)), remaining)
+    else:
+        # ---- legacy shared work queue + scatter-add film ----
+        # Film rows are shard-local; s.pixel is global. Lanes that did NOT
+        # die are routed one-past-the-end and dropped by the scatter (JAX's
+        # default out-of-bounds drop semantics): routing them to pixel 0
+        # with a zero value instead serialized ~85% duplicate updates
+        # inside the scatter kernel — profiled at 10.5 ms of the 65 ms
+        # super-iteration (experiments/round4_profile.py).
+        pix_local = s.pixel - jnp.asarray(shard[0], jnp.int32)
+        film = s.film.at[jnp.where(died, pix_local, s.film.shape[0])].add(rad_out)
+        remaining = budget - s.queue_head
+        rank = jnp.cumsum(dead_now.astype(jnp.int32)) - 1
+        work_id = s.queue_head + rank
+        take = dead_now & (rank < remaining)
+        pixel_new = (work_id % npix_l).astype(jnp.uint32) + jnp.asarray(pixel_base, jnp.uint32)
+        sample_new = (
+            (work_id // npix_l).astype(jnp.uint32)
+            + jnp.asarray(current_sample, jnp.uint32)
+            + jnp.asarray(sample_base, jnp.uint32)
+        )
+        queue_head = s.queue_head + jnp.minimum(jnp.sum(dead_now.astype(jnp.int32)), remaining)
+        accum, samp_i, samp_i_base = s.accum, s.samp_i, s.samp_i_base
+        flush_pix, flush_rgb = s.flush_pix, s.flush_rgb
+
     rng_new = urng.seed(pixel_new, sample_new, params.seed_root)
     coords, rng_new = ucamera.jittered_pixel_coords(pixel_new, config, rng_new)
     o_new, d_new, rng_new = ucamera.get_screen_ray(coords, config, params, rng_new)
@@ -521,7 +632,6 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     path_d = jnp.where(tk, d_new, path_d)
     sn = _set_trav(sn, take, path_o, path_d, jnp.float32(FAR_PLANE), entry)
     new_mode = jnp.where(take, MODE_PRIMARY, new_mode)
-    queue_head = s.queue_head + jnp.minimum(jnp.sum(dead_now.astype(jnp.int32)), remaining)
 
     shadow_started = (to_env if env_nee else jnp.zeros((b,), bool)) | (
         to_light if light_nee else jnp.zeros((b,), bool)
@@ -554,6 +664,11 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         film=film,
         queue_head=queue_head,
         rays=rays,
+        accum=accum,
+        samp_i=samp_i,
+        samp_i_base=samp_i_base,
+        flush_pix=flush_pix,
+        flush_rgb=flush_rgb,
     )
 
 
@@ -610,6 +725,9 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         trav0 = init_state(b, jnp.float32(0.0))._replace(
             ptr=jnp.full((b,), n_nodes, jnp.int32))
 
+    lane_film = config.use_lane_film
+    spp_l_ = budget // npix_l
+    ch_ = _chunk_size(config, spp_l_)
     z3 = jnp.zeros((b, 3), jnp.float32)
     zi = jnp.zeros((b,), jnp.int32)
     zf = jnp.zeros((b,), jnp.float32)
@@ -630,16 +748,26 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         rays=jnp.asarray(0, jnp.int32),
         busy=jnp.asarray(0, jnp.int32),
         ticks=jnp.asarray(0, jnp.int32),
+        # Bootstrap: lanes sit at "last sample of a finished chunk" so the
+        # first transition's regeneration pulls real chunks off the queue.
+        accum=z3,
+        samp_i=jnp.full((b,), ch_ - 1, jnp.int32),
+        samp_i_base=zi,
+        flush_pix=jnp.full((b,), npix_l, jnp.int32),
+        flush_rgb=z3,
     )
 
     def cond(s: FusedState):
+        if lane_film:
+            # All lanes start DEAD; tick 0 bootstraps the regeneration.
+            return (s.ticks == 0) | jnp.any(s.mode != MODE_DEAD)
         return jnp.any(s.mode != MODE_DEAD) | (s.queue_head < budget)
 
     inst_w2l = scene.inst_w2l if scene.inst_w2l.shape[0] > 0 else None
 
     te = getattr(config, "transition_every", TRANSITION_EVERY) or TRANSITION_EVERY
 
-    if config.use_pallas_arrival and use_v16 and inst_w2l is None:
+    if config.use_pallas_arrival and use_v16:
         from unity_webgpu_pathtracer_tpu.ops.pallas_arrival import MIN_BLK
         use_pallas = b % MIN_BLK == 0
     else:
@@ -662,7 +790,8 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
                 active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
                 trav = _pa.arrival_step16_pallas(nodes16, oT, dT, invT,
                                                  trav, active,
-                                                 interpret=_interp)
+                                                 interpret=_interp,
+                                                 has_instances=inst_w2l is not None)
             stepping = (s.mode != MODE_DEAD) & (s.trav.ptr >= 0)
             trav_done = trav.ptr < 0
         elif use_v16:
@@ -716,12 +845,39 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             # descend their first level(s) gather-free (prestep16).
             fresh = ((s.trav.ptr == 0) & (s.trav.pend == tw16.FULL)
                      & (s.trav.sp == 0) & (s.mode != MODE_DEAD))
+            top3 = (scene.wide16_top3
+                    if getattr(config, "prestep_levels", 2) >= 3 else None)
             s = s._replace(trav=tw16.prestep16(
                 nodes16, scene.wide16_top, s.trav_o, s.trav_d,
-                safe_rcp(s.trav_d), s.trav, fresh))
+                safe_rcp(s.trav_d), s.trav, fresh, top3=top3))
         return s
 
-    final = jax.lax.while_loop(cond, body, init)
+    if lane_film:
+        # Two-level loop: the inner loop runs up to `ch` super-iterations
+        # (the guarantee window: one chunk completion per lane max), the
+        # outer loop scatters every lane's flush slot in ONE op — the film
+        # scatter runs 1/ch as often as the legacy per-transition splat.
+        def inner_cond(carry):
+            s, j = carry
+            return cond(s) & (j < ch_)
+
+        def inner_body(carry):
+            s, j = carry
+            return body(s), j + 1
+
+        def outer_body(s):
+            s, _ = jax.lax.while_loop(
+                inner_cond, inner_body, (s, jnp.asarray(0, jnp.int32)))
+            film = s.film.at[s.flush_pix].add(s.flush_rgb)
+            return s._replace(
+                film=film,
+                flush_pix=jnp.full_like(s.flush_pix, npix_l),
+                flush_rgb=jnp.zeros_like(s.flush_rgb),
+            )
+
+        final = jax.lax.while_loop(cond, outer_body, init)
+    else:
+        final = jax.lax.while_loop(cond, body, init)
     occupancy = final.busy.astype(jnp.float32) / jnp.maximum(
         final.ticks.astype(jnp.float32), 1.0
     )
