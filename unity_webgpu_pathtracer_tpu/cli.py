@@ -63,6 +63,10 @@ def cmd_render(args):
     overrides.setdefault("traversal", args.traversal)
     overrides["has_lights"] = bool(scene.lights) or overrides.get("has_lights", False)
     overrides["has_textures"] = bool(scene.textures) or overrides.get("has_textures", False)
+    overrides["has_normal_maps"] = (
+        overrides["has_textures"]
+        and any(m.normal_texture >= 0 for m in scene.materials)
+    ) or overrides.get("has_normal_maps", False)
     # Production defaults: fused + wide16 + the Pallas arrival kernel at
     # cadence 10 (the bench-optimal config); every other backend remains
     # selectable for cross-checking.

@@ -295,7 +295,8 @@ def arrival_step16(nodes, o, d, inv, s: Wide16State, active=None,
     )
 
 
-def prestep16(nodes, top, o, d, inv, s: Wide16State, mask) -> Wide16State:
+def prestep16(nodes, top, o, d, inv, s: Wide16State, mask,
+              top3=None) -> Wide16State:
     """Gather-free first arrival(s) for fresh lanes.
 
     Every ray segment — regenerated path, bounce continuation, NEE shadow
@@ -405,6 +406,47 @@ def prestep16(nodes, top, o, d, inv, s: Wide16State, mask) -> Wide16State:
         # No grandchild hit: leave the lane at the child row — the normal
         # arrival repeats the test and pops correctly (rare; conservative).
         ptr = jnp.where(l2 & found2, gchild, ptr)
+
+        # ---- level 3: grandchild fields via a bit-exact one-hot MXU
+        # matmul over the 256 (slot1, slot2) combinations ----
+        # A 256-step select chain costs ~2 ms (cancels the win); instead
+        # the host pre-splits the decoded slot table into 3 bf16 limbs
+        # (exact: 8+8+8 mantissa bits cover f32's 24) and the one-hot
+        # matmul gathers each limb on the MXU — one nonzero per row, so
+        # every product and the f32 accumulation are exact.
+        if top3 is not None and top3.shape[-2] == 256:
+            slot12 = slot1 * 16 + slot2                  # (B,)
+            onehot = (slot12[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :])
+            oh_bf = onehot.astype(jnp.bfloat16)
+            def mm(limb):
+                return jax.lax.dot_general(
+                    oh_bf, limb.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            acc3 = mm(top3[0]) + (mm(top3[1]) + mm(top3[2]))  # (B, 119)
+            cmeta3 = acc3[:, 118]
+            l3 = l2 & found2 & (cmeta3 == 0.0)
+            t_near, t_far = slab(acc3[:, 0:3], acc3[:, 3:6],
+                                 acc3[:, 6:54], acc3[:, 54:102], s.t)
+            cptrs3 = acc3[:, 102:118].astype(jnp.int32)
+            hit3 = (t_near <= t_far) & (cptrs3 >= 0)
+            tn3 = jnp.where(hit3, t_near, jnp.float32(jnp.inf))
+            slot3 = jnp.argmin(tn3, axis=1).astype(jnp.int32)
+            found3 = l3 & hit3.any(axis=1)
+            onehot3 = iota16 == slot3[:, None]
+            ggchild = jnp.sum(jnp.where(onehot3, cptrs3, 0), axis=1)
+            rembits3 = hit3 & ~onehot3
+            remaining3 = jnp.sum(jnp.where(rembits3, bits16, 0), axis=1)
+            push3 = found3 & (remaining3 > 0)
+            one_left3 = jnp.sum(rembits3.astype(jnp.int32), axis=1) == 1
+            direct3 = jnp.sum(jnp.where(rembits3, cptrs3, 0), axis=1)
+            entry_row3 = jnp.where(one_left3, direct3, gchild)
+            entry_mask3 = jnp.where(one_left3, 0, remaining3)
+            at_l3 = (levels == sp[None, :]) & (push3 & l3)[None, :]
+            stack_row = jnp.where(at_l3, entry_row3[None, :], stack_row)
+            stack_mask = jnp.where(at_l3, entry_mask3[None, :], stack_mask)
+            sp = sp + (push3 & l3).astype(jnp.int32)
+            ptr = jnp.where(l3 & found3, ggchild, ptr)
 
     return s._replace(ptr=ptr, sp=sp, stack_row=stack_row,
                       stack_mask=stack_mask)

@@ -104,15 +104,18 @@ def shade_prep(scene, origins, directions, t, bary, slot, inst=None) -> HitInfo:
 def intersect_analytic_lights(scene, origins, directions, hit: HitInfo) -> HitInfo:
     """Test rect lights, overriding closer hits (``intersect.hlsl:29-54``).
 
-    Light count is static (= lights table rows); the loop unrolls at trace
-    time like the reference's in-kernel loop.
+    Light count is static (= lights table rows); small tables unroll at
+    trace time like the reference's in-kernel loop, larger ones run an
+    on-device ``fori_loop`` so compile size stays flat in light count.
     """
+    import jax
+
     t = hit.t
     light_idx = hit.light_index
     itype = hit.intersect_type
     normal = hit.normal
-    for i in range(scene.lights.shape[0]):
-        rec = scene.lights[i]
+
+    def one(rec, i, t, light_idx, itype, normal):
         is_rect = rec[3] == 3.0  # LIGHT_TYPE_RECTANGLE
         pos, u, v = rec[0:3], rec[8:11], rec[12:15]
         n = normalize(cross(u, v))
@@ -131,10 +134,23 @@ def intersect_analytic_lights(scene, origins, directions, hit: HitInfo) -> HitIn
             & (tt < t)
             & (dot(directions, jnp.broadcast_to(n, directions.shape)) < 0.0)
         )
-        t = jnp.where(hit_rect, tt, t)
-        light_idx = jnp.where(hit_rect, i, light_idx)
-        itype = jnp.where(hit_rect, INTERSECT_LIGHT, itype)
-        normal = jnp.where(hit_rect[:, None], jnp.broadcast_to(n, normal.shape), normal)
+        return (
+            jnp.where(hit_rect, tt, t),
+            jnp.where(hit_rect, i, light_idx),
+            jnp.where(hit_rect, INTERSECT_LIGHT, itype),
+            jnp.where(hit_rect[:, None], jnp.broadcast_to(n, normal.shape), normal),
+        )
+
+    lcount = scene.lights.shape[0]
+    if lcount <= 4:
+        for i in range(lcount):
+            t, light_idx, itype, normal = one(
+                scene.lights[i], i, t, light_idx, itype, normal)
+    else:
+        t, light_idx, itype, normal = jax.lax.fori_loop(
+            0, lcount,
+            lambda i, c: one(scene.lights[i], i, *c),
+            (t, light_idx, itype, normal))
     position = origins + t[:, None] * directions
     ffnormal = jnp.where(dot1(normal, directions) <= 0.0, normal, -normal)
     return hit._replace(

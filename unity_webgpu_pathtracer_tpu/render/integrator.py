@@ -104,6 +104,16 @@ def trace_bounce(scene, config: RenderConfig, params: RenderParams, s: PathState
 
     # --- Material fetch + roughness regularization (pathtrace.hlsl:63-68).
     mdata = scene.materials[jnp.maximum(hit.material, 0)]
+    if config.has_normal_maps:
+        from unity_webgpu_pathtracer_tpu.scene.material import apply_normal_map
+        from unity_webgpu_pathtracer_tpu.utils.math import dot1
+
+        nm = apply_normal_map(mdata, hit.uv, hit.normal, hit.tangent,
+                              scene.texture_data, config.has_textures)
+        hit = hit._replace(
+            normal=nm,
+            ffnormal=jnp.where(dot1(nm, s.direction) <= 0.0, nm, -nm),
+        )
     mat = derive_material(
         mdata, hit.uv, s.direction, hit.normal,
         scene.texture_data, config.has_textures,

@@ -169,3 +169,39 @@ def derive_material(
         eta=jnp.where(entering, 1.0 / ior, ior),
         occlusion=occlusion,
     )
+
+
+def apply_normal_map(mdata, uv, normal, tangent, texture_data,
+                     has_textures: bool):
+    """Perturb the shading normal by the material's normal map.
+
+    The reference ships this path disabled (``util/material.hlsl:114-133``);
+    here it is live behind the static ``has_normal_maps`` config flag.
+    Semantics match the disabled reference code: tangent-space sample
+    ``2*px - 1``, xy scaled by ``normalScale`` (mdata[10]), frame
+    ``T' = normalize(T - N (T.N))``, ``B = cross(N, T')`` (no tangent w —
+    the reference's attribute is a float3 too), unbound texture or a
+    degenerate tangent falls back to the interpolated normal.
+    """
+    if not has_textures or texture_data is None:
+        return normal
+    t_nm = mdata[:, 24].astype(jnp.int32)
+    uv_t = uv * mdata[:, 28:30] + mdata[:, 30:32]
+    px = tex.sample_texture(texture_data, t_nm, uv_t, bilinear=True)
+    ts = px[:, :3] * 2.0 - 1.0
+    scale = mdata[:, 10]
+    tsx = ts[:, 0] * scale
+    tsy = ts[:, 1] * scale
+    tsz = ts[:, 2]
+    # Gram-Schmidt the interpolated tangent against the normal.
+    t_dot_n = jnp.sum(tangent * normal, axis=-1, keepdims=True)
+    t_orth = tangent - normal * t_dot_n
+    t_len = jnp.sqrt(jnp.maximum(jnp.sum(t_orth * t_orth, axis=-1), 1e-20))
+    t_hat = t_orth / t_len[:, None]
+    b_hat = jnp.cross(normal, t_hat)
+    n_new = (t_hat * tsx[:, None] + b_hat * tsy[:, None]
+             + normal * tsz[:, None])
+    n_len = jnp.sqrt(jnp.maximum(jnp.sum(n_new * n_new, axis=-1), 1e-20))
+    n_new = n_new / n_len[:, None]
+    ok = (t_nm >= 0) & (t_len > 1e-6)
+    return jnp.where(ok[:, None], n_new, normal)
