@@ -18,17 +18,19 @@ There is no synchronization point anywhere between path starts: mean path
 cost, not worst-case, governs throughput — the property the per-bounce
 barrier integrators fundamentally lack on TPU.
 
-Film accumulation (``config.use_lane_film``, default): the work queue
-hands out chunks of ``ch`` consecutive samples of one pixel; a lane
-accumulates its chunk's radiance in-register and deposits ONE
-(pixel, rgb) record in its flush slot at chunk completion.  An outer loop
-scatters all B slots every ``ch`` super-iterations — the per-transition
-film scatter (the TPU has no vector scatter; ~40 ns x B per op, 10.35 ms
-at B=262k = the round-2 #2 cost) amortizes by ``ch``.  Dynamic queue
-balancing is preserved (fixed lane->pixel ownership measured occupancy
-0.55 vs 0.96).  Per-sample radiance is bit-identical to the legacy
-scatter film (same (pixel, sample) seeds); only scatter-add association
-differs (1-ulp film tolerance; the legacy path remains selectable).
+Film accumulation: the legacy path (default) scatter-adds died lanes'
+radiance every transition, with DISTINCT out-of-bounds indices for
+surviving lanes (a shared OOB sentinel is a mass duplicate the TPU
+scatter serializes before dropping — measured 0.47 GB/s).  The optional
+chunked lane film (``config.use_lane_film``) hands out chunks of ``ch``
+consecutive samples of one pixel, accumulates in-lane and flushes one
+slot per lane per iteration (fewer real scatter indices; measured
+occupancy cost ~0.84 vs 0.96 from the coarser queue).  Amortizing the
+flush across iterations via a nested while or lax.cond DE-OPTIMIZES the
+fused gather+transpose layout (44.4 vs 12.0 ms/super-iteration of
+gather) — only flat loop bodies stay fast on this platform.  Per-sample
+radiance is bit-identical between both film modes (same (pixel, sample)
+seeds); only scatter-add association differs.
 
 State machine modes::
 
@@ -603,13 +605,17 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     else:
         # ---- legacy shared work queue + scatter-add film ----
         # Film rows are shard-local; s.pixel is global. Lanes that did NOT
-        # die are routed one-past-the-end and dropped by the scatter (JAX's
+        # die are routed out-of-bounds and dropped by the scatter (JAX's
         # default out-of-bounds drop semantics): routing them to pixel 0
         # with a zero value instead serialized ~85% duplicate updates
         # inside the scatter kernel — profiled at 10.5 ms of the 65 ms
-        # super-iteration (experiments/round4_profile.py).
+        # super-iteration (experiments/round4_profile.py).  Each dropped
+        # lane gets a DISTINCT OOB index (npix + lane): a single shared
+        # sentinel is itself a mass duplicate that the scatter serializes
+        # before dropping (measured 0.47 GB/s scatter bandwidth).
         pix_local = s.pixel - jnp.asarray(shard[0], jnp.int32)
-        film = s.film.at[jnp.where(died, pix_local, s.film.shape[0])].add(rad_out)
+        oob = s.film.shape[0] + jnp.arange(b, dtype=jnp.int32)
+        film = s.film.at[jnp.where(died, pix_local, oob)].add(rad_out)
         remaining = budget - s.queue_head
         rank = jnp.cumsum(dead_now.astype(jnp.int32)) - 1
         work_id = s.queue_head + rank
@@ -753,7 +759,9 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         accum=z3,
         samp_i=jnp.full((b,), ch_ - 1, jnp.int32),
         samp_i_base=zi,
-        flush_pix=jnp.full((b,), npix_l, jnp.int32),
+        # Distinct OOB sentinels (npix + lane): a shared sentinel is a mass
+        # duplicate the scatter serializes before dropping.
+        flush_pix=npix_l + jnp.arange(b, dtype=jnp.int32),
         flush_rgb=z3,
     )
 
@@ -853,29 +861,23 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         return s
 
     if lane_film:
-        # Two-level loop: the inner loop runs up to `ch` super-iterations
-        # (the guarantee window: one chunk completion per lane max), the
-        # outer loop scatters every lane's flush slot in ONE op — the film
-        # scatter runs 1/ch as often as the legacy per-transition splat.
-        def inner_cond(carry):
-            s, j = carry
-            return cond(s) & (j < ch_)
-
-        def inner_body(carry):
-            s, j = carry
-            return body(s), j + 1
-
-        def outer_body(s):
-            s, _ = jax.lax.while_loop(
-                inner_cond, inner_body, (s, jnp.asarray(0, jnp.int32)))
+        # ONE flat while with the flush fused into every super-iteration.
+        # Periodic flushing via a nested while or a lax.cond BOTH
+        # de-optimize the fused gather+transpose layout (44.4 vs 12.0 ms
+        # of gather per super-iteration; cond variant 26.9 vs 16.3 s/pass
+        # measured) — on this platform the only cheap structure is a flat
+        # body.  The scatter itself is made cheap by DISTINCT out-of-bounds
+        # sentinels instead (see the flush_pix init).
+        def body_flush(s):
+            s = body(s)
             film = s.film.at[s.flush_pix].add(s.flush_rgb)
             return s._replace(
                 film=film,
-                flush_pix=jnp.full_like(s.flush_pix, npix_l),
+                flush_pix=npix_l + jnp.arange(b, dtype=jnp.int32),
                 flush_rgb=jnp.zeros_like(s.flush_rgb),
             )
 
-        final = jax.lax.while_loop(cond, outer_body, init)
+        final = jax.lax.while_loop(cond, body_flush, init)
     else:
         final = jax.lax.while_loop(cond, body, init)
     occupancy = final.busy.astype(jnp.float32) / jnp.maximum(
