@@ -43,7 +43,9 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     pool = int(os.environ.get("BENCH_POOL", 1 << 18))
     trav = os.environ.get("BENCH_TRAV", "wide16")
-    spp = int(os.environ.get("BENCH_SPP", 16))
+    # 32 spp/pass: the longer work queue amortizes the drain tail
+    # (occupancy 0.957 -> 0.978, +2% — round-3 pool/spp sweep).
+    spp = int(os.environ.get("BENCH_SPP", 32))
     te = int(os.environ.get("BENCH_TE", 10))
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     width, height = (512, 512) if small else (1920, 1080)
