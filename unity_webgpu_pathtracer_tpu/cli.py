@@ -109,6 +109,62 @@ def cmd_examples(_args):
         print(f"builtin:{name}")
 
 
+def cmd_animate(args):
+    """Render a frame sequence: orbiting camera (FreeViewCamera.cs
+    analogue, headless) and/or animated instance transforms on TLAS scenes
+    (Bounce.cs analogue — TLAS-only rebuild per frame, accumulation
+    reset). Writes out-0000.png .. out-NNNN.png."""
+    import os
+
+    import numpy as np
+
+    from unity_webgpu_pathtracer_tpu.api import Renderer
+    from unity_webgpu_pathtracer_tpu.config import PostParams, RenderConfig
+    from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+
+    scene, cam, overrides = _load_scene(args.scene)
+    width = height = args.size
+    overrides = dict(overrides)
+    overrides.setdefault("traversal", args.traversal)
+    overrides["has_lights"] = bool(scene.lights) or overrides.get("has_lights", False)
+    overrides["has_textures"] = bool(scene.textures) or overrides.get("has_textures", False)
+    config = RenderConfig(
+        width=width, height=height, samples_per_pass=args.spp,
+        max_bounces=args.bounces, integrator="fused",
+        use_pallas_arrival=jax.default_backend() == "tpu",
+        transition_every=overrides.pop("transition_every", 10),
+        **overrides,
+    )
+    params = make_camera_params(width=width, height=height, **cam)
+    r = Renderer(scene, config, params)
+    base, ext = os.path.splitext(args.out)
+    eye0 = np.asarray(cam["eye"], np.float32)
+    target = np.asarray(cam.get("target", (0, 0, 0)), np.float32)
+    bounce_ids = list(range(len(scene.instances) - 1)) if args.bounce else []
+
+    for f in range(args.frames):
+        phase = 2.0 * np.pi * f / max(args.frames, 1)
+        if args.orbit:
+            rel = eye0 - target
+            c, s = np.cos(phase), np.sin(phase)
+            rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+            eye = target + rot @ rel
+            params = make_camera_params(
+                width=width, height=height,
+                **{**cam, "eye": tuple(float(x) for x in eye)})
+            r.update_camera(params)
+        for i in bounce_ids:
+            mid, t0, _m = scene.instances[i]
+            t = np.array(t0, np.float32).copy()
+            t[1, 3] = 0.4 + abs(np.sin(phase + i)) * 1.2
+            r.update_instance_transform(i, t)
+        r.render(1)
+        path = f"{base}-{f:04d}{ext or '.png'}"
+        r.save_png(path, PostParams(mode=TONEMAPS[args.tonemap]))
+        print(path, file=sys.stderr)
+    print(f"{base}-0000{ext or '.png'} .. {base}-{args.frames - 1:04d}{ext or '.png'}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="unity_webgpu_pathtracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -137,6 +193,25 @@ def main(argv=None):
 
     pe = sub.add_parser("examples", help="list builtin scenes")
     pe.set_defaults(fn=cmd_examples)
+
+    pa = sub.add_parser(
+        "animate",
+        help="render a frame sequence (orbit camera / bounce instances)")
+    pa.add_argument("scene", help="builtin:<name> | path.obj | path.glb")
+    pa.add_argument("--out", default="frame.png",
+                    help="frame path stem; writes stem-0000.png ...")
+    pa.add_argument("--frames", type=int, default=8)
+    pa.add_argument("--size", type=int, default=256)
+    pa.add_argument("--spp", type=int, default=8)
+    pa.add_argument("--bounces", type=int, default=4)
+    pa.add_argument("--traversal", default="wide16",
+                    choices=["wide", "wide2", "wide8", "wide16"])
+    pa.add_argument("--orbit", action="store_true",
+                    help="orbit the camera around the target per frame")
+    pa.add_argument("--bounce", action="store_true",
+                    help="animate instance heights (TLAS scenes; Bounce.cs)")
+    pa.add_argument("--tonemap", default="aces", choices=list(TONEMAPS))
+    pa.set_defaults(fn=cmd_animate)
 
     args = p.parse_args(argv)
     args.fn(args)
