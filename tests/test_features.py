@@ -355,3 +355,32 @@ def test_normal_map_bump_changes_shading(integrator):
     assert d > 0.005, f"normal map changed nothing (mean delta {d})"
     # Bumps modulate spatially: the on-image must have more variation.
     assert img_on.std() > img_off.std() * 0.9
+
+
+def _nan_material_scene():
+    # NaN roughness propagates through GGX D into the sampled f/pdf —
+    # the masked-lobe sampler eats a NaN *base_color* (every lobe CDF
+    # comparison is False -> f=0, pdf=0, silent drop), so roughness is
+    # the fixture that reproduces the reference's NaN-f condition
+    # (pathtrace.hlsl:100).
+    scene, cam, overrides = __import__(
+        "unity_webgpu_pathtracer_tpu.models.examples",
+        fromlist=["quad_scene"]).quad_scene()
+    scene.materials[0].roughness = float("nan")
+    return scene, cam, overrides
+
+
+@pytest.mark.parametrize("integrator", ["megakernel", "fused"])
+def test_nan_canary_paints_green(integrator):
+    """debug_nan_canary replicates pathtrace.hlsl:100-104: a NaN BSDF
+    sample paints the sample pure green; off, the sample is dropped."""
+    img = _render(_nan_material_scene, size=32, spp=4,
+                  integrator=integrator, debug_nan_canary=True)
+    # Center pixels hit the NaN-material quad: every sample is the canary.
+    center = img[14:18, 14:18]
+    assert np.allclose(center, [0.0, 1.0, 0.0], atol=1e-6), center.mean(axis=(0, 1))
+    # Canary off: the NaN sample is dropped silently (finite, not green).
+    img_off = _render(_nan_material_scene, size=32, spp=4,
+                      integrator=integrator, debug_nan_canary=False)
+    assert np.isfinite(img_off).all()
+    assert img_off[14:18, 14:18, 1].mean() < 0.5

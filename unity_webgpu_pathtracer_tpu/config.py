@@ -62,6 +62,10 @@ class RenderConfig:
     max_bounces: int = 5
     use_russian_roulette: bool = True
     use_firefly_filter: bool = False
+    # Paint samples whose BSDF sample went NaN pure green instead of
+    # dropping them silently (the reference's canary,
+    # pathtrace.hlsl:100-104: ``radiance = float3(0,1,0); break``).
+    debug_nan_canary: bool = False
     sky_mode: int = SKY_MODE_BASIC
 
     # Feature flags = shader multi_compile variants (PathTracer.compute:6-9).

@@ -528,6 +528,13 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         scale = jnp.where(lum > params.max_firefly_luminance,
                           params.max_firefly_luminance / jnp.maximum(lum, 1e-20), 1.0)
         rad_out = rad_out * scale[:, None]
+    if config.debug_nan_canary:
+        # NaN-BSDF canary (pathtrace.hlsl:100-104): the sample's radiance
+        # is REPLACED by pure green, making NaN sources visible in the
+        # image. Off by default: production drops the sample's bounce
+        # instead (the accumulated prefix radiance still splats).
+        rad_out = jnp.where((to_bsdf & nan_lane)[:, None],
+                            jnp.array([0.0, 1.0, 0.0], jnp.float32), rad_out)
 
     # Continuing bounce: new primary ray (position comes from the unified
     # hit frame for both passthrough and BSDF continuation). A cap-exhausted

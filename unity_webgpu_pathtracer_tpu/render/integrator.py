@@ -149,6 +149,11 @@ def trace_bounce(scene, config: RenderConfig, params: RenderParams, s: PathState
     f, l, pdf, rng_state = ubsdf.sample_brdf(mat, -s.direction, hit.ffnormal, rng_state)
     nan_lane = jnp.isnan(f).any(axis=-1) | jnp.isnan(pdf)
     dead_sample = shade & (nan_lane | (pdf <= 0.0))
+    if config.debug_nan_canary:
+        # NaN-BSDF canary (pathtrace.hlsl:100-104): replace the sample's
+        # radiance with pure green and stop the path.
+        radiance = jnp.where((shade & nan_lane)[:, None],
+                             jnp.array([0.0, 1.0, 0.0], jnp.float32), radiance)
     throughput = jnp.where(
         (shade & ~dead_sample)[:, None],
         s.throughput * f / jnp.maximum(pdf, 1e-20)[:, None],
