@@ -870,22 +870,30 @@ extern "C" int build_mbvh8(const float* positions, int tri_count, int leaf_size,
 namespace {
 
 static inline uint16_t f2h(float f) {
-  // Round-to-nearest-even float32 -> float16 (matches numpy astype).
+  // Round-to-nearest-even float32 -> float16 (matches numpy astype), then
+  // canonicalized to the table contract the TPU fast decode relies on
+  // (ops/pallas_arrival.py::_f16_bits_to_f32): NO subnormals or -0 (both
+  // flush to +0 — offsets < 6.1e-5 world units are below the f16
+  // quantization noise anyway) and NO inf/nan (clamped to +-65504, the
+  // round-2 advisor's build-time-finiteness alternative).  The jnp
+  // traversal path reads the same canonicalized table through the
+  // hardware f16 conversion, so both paths stay bit-identical.
   uint32_t x;
   std::memcpy(&x, &f, 4);
   uint32_t sign = (x >> 16) & 0x8000u;
   int32_t exp = (int32_t)((x >> 23) & 0xFF) - 127 + 15;
   uint32_t man = x & 0x7FFFFFu;
-  if (((x >> 23) & 0xFF) == 0xFF) return (uint16_t)(sign | 0x7C00u | (man ? 0x200u : 0));
-  if (exp >= 0x1F) return (uint16_t)(sign | 0x7C00u);  // overflow -> inf
+  if (((x >> 23) & 0xFF) == 0xFF) return (uint16_t)(sign | 0x7BFFu);  // inf/nan -> max finite
+  if (exp >= 0x1F) return (uint16_t)(sign | 0x7BFFu);  // overflow -> max finite
   if (exp <= 0) {
-    if (exp < -10) return (uint16_t)sign;              // underflow -> 0
+    if (exp < -10) return 0;                           // underflow -> +0
     man |= 0x800000u;
     int shift = 14 - exp;
     uint32_t half = man >> shift;
     uint32_t rem = man & ((1u << shift) - 1);
     uint32_t mid = 1u << (shift - 1);
     if (rem > mid || (rem == mid && (half & 1))) half++;
+    if ((half & 0x7C00u) == 0) return 0;               // subnormal -> +0
     return (uint16_t)(sign | half);
   }
   uint32_t half = (uint32_t)(exp << 10) | (man >> 13);

@@ -101,9 +101,20 @@ def _pack_u8(vals: np.ndarray) -> np.ndarray:
     return words.view(np.int32).view(np.float32)
 
 
+def _canon_f16(h: np.ndarray) -> np.ndarray:
+    """Canonicalize f16 bit patterns to the table contract of the TPU fast
+    decode (ops/pallas_arrival.py::_f16_bits_to_f32): subnormals and -0
+    flush to +0 (below quantization noise), inf/nan clamp to +-65504."""
+    hb = h.view(np.uint16)
+    hb = np.where((hb & 0x7C00) == 0, np.uint16(0), hb)
+    hb = np.where((hb & 0x7C00) == 0x7C00,
+                  (hb & np.uint16(0x8000)) | np.uint16(0x7BFF), hb)
+    return hb
+
+
 def _pack_f16(vals: np.ndarray) -> np.ndarray:
     """(2k,) float -> (k,) float32 carrying packed float16."""
-    h = np.asarray(vals, np.float16).view(np.uint16).reshape(-1, 2)
+    h = _canon_f16(np.asarray(vals, np.float16)).reshape(-1, 2)
     words = h[:, 0].astype(np.uint32) | (h[:, 1].astype(np.uint32) << 16)
     return words.view(np.int32).view(np.float32)
 

@@ -141,8 +141,11 @@ def _pack_u8x8(vals: np.ndarray) -> np.ndarray:
 
 
 def _pack_f16x8(vals: np.ndarray) -> np.ndarray:
-    """(8,) float -> (4,) float32 carrying 8 packed float16."""
-    h = np.asarray(vals, np.float16).view(np.uint16).reshape(4, 2)
+    """(8,) float -> (4,) float32 carrying 8 packed float16 (canonicalized
+    to the no-subnormal/no-inf table contract, see wide16._canon_f16)."""
+    from unity_webgpu_pathtracer_tpu.accel.wide16 import _canon_f16
+
+    h = _canon_f16(np.asarray(vals, np.float16)).reshape(4, 2)
     words = h[:, 0].astype(np.uint32) | (h[:, 1].astype(np.uint32) << 16)
     return words.view(np.int32).view(np.float32)
 

@@ -60,21 +60,22 @@ def _f16_bits_to_f32(bits):
 
     Mosaic rejects 16-bit vreg bitcasts ("Invalid vector register cast"
     for i16->f16), so the decode rebias-assembles f32 bits (a same-width
-    i32->f32 bitcast, which it accepts).  Subnormal f16 inputs (quantized
-    near-zero leaf coordinates) take the exact m * 2^-24 path; e=31
-    (inf/nan, emitted by the builders when a leaf coordinate overflows
-    65504) maps to f32 inf/nan so oversized scenes miss on this path
-    exactly like the jnp path's hardware f16 bitcast.
+    i32->f32 bitcast, which it accepts).
+
+    Fast path by BUILDER CONTRACT: every f16 in a node table is either +0
+    or a normal finite value — the emitters (native ``f2h``,
+    ``accel/wide16._canon_f16``) flush subnormals/-0 to +0 and clamp
+    overflow to +-65504 at build time.  That reduces the decode to 9
+    integer ops/halfword (the old subnormal + inf branches were ~18,
+    ~45% of the whole arrival kernel's VPU work): magnitude-align,
+    exponent rebias (+112), sign insert, and one select that maps e==0
+    back to +0 (the rebias alone would turn +0 into 2^-15).  Bit-exact
+    vs the jnp path's hardware f16 conversion on contract tables.
     """
-    s = (bits >> 15) & 1
-    e = (bits >> 10) & 0x1F
-    m = bits & 0x3FF
-    exp32 = jnp.where(e == 0x1F, 255, e + 112)
-    normal = jax.lax.bitcast_convert_type(
-        (s << 31) | (exp32 << 23) | (m << 13), jnp.float32)
-    sub = m.astype(jnp.float32) * jnp.float32(2.0 ** -24)
-    sub = jnp.where(s > 0, -sub, sub)
-    return jnp.where(e == 0, sub, normal)
+    mag = (bits & 0x7FFF) << 13
+    vb = (mag + (112 << 23)) | ((bits & 0x8000) << 16)
+    val = jax.lax.bitcast_convert_type(vb, jnp.float32)
+    return jnp.where(mag < (1 << 23), jnp.float32(0.0), val)
 
 
 def _arrival_kernel(transpose_in_kernel, has_inst, *refs):
