@@ -127,6 +127,26 @@ class RenderConfig:
     # notes); films are bit-identical either way, so the flag stays.
     use_lane_film: bool = False
 
+    # Sorted-prefix film (fused integrator): the film scatter-add prices
+    # ~40 ns per ISSUED slot regardless of OOB drops, so the legacy path
+    # pays B slots/transition for ~0.25*B actual deaths.  This mode
+    # rank-gates dying lanes to at most K = pool >> film_k_shift accepted
+    # records per transition, compacts them to a K-prefix with ONE
+    # lax.sort (~4 ns/row — 10x cheaper than scatter slots,
+    # experiments/round7_scatterprobe.py) and scatters only K slots.
+    # Rejected lanes keep their radiance in-lane (mode stays DEAD, no
+    # regeneration) and retry next transition — backpressure instead of
+    # record loss, so correctness is unconditional; a post-loop flush
+    # catches stragglers.  Per-sample radiance is bit-identical to the
+    # legacy film; only scatter-add association differs (<= 1 ulp).
+    use_sorted_film: bool = False
+
+    # K = pool_size >> film_k_shift accepted film records per transition
+    # (sorted film only).  Deaths average ~0.25*B per transition on the
+    # bench, so shift 1 (K = B/2) never throttles; shift 2 is tighter but
+    # saves another ~2.8 ms/super-iteration.
+    film_k_shift: int = 1
+
     # Gather-free first-arrival prestep for fresh ray segments (wide16):
     # the root level (and, for non-instanced scenes, the second level) is
     # descended from broadcast constants / a slot select chain instead of

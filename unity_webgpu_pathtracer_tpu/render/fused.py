@@ -152,6 +152,11 @@ class FusedState(NamedTuple):
     flush_pix: jnp.ndarray = jnp.zeros(1, jnp.int32)   # (B,) slot pixel (npix = empty)
     flush_rgb: jnp.ndarray = jnp.zeros((1, 3))         # (B,3) slot radiance
 
+    # Sorted-prefix film (config.use_sorted_film): dead lanes whose death
+    # record was rank-rejected this transition (over the K budget); they
+    # hold their radiance and retry before taking new work.
+    rec_pending: jnp.ndarray = jnp.zeros(1, bool)      # (B,)
+
 
 def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
     """Point lanes' traversal at a fresh ray (world space, regs reset).
@@ -609,6 +614,53 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         film = s.film
         queue_head = s.queue_head + jnp.minimum(
             jnp.sum(need_chunk.astype(jnp.int32)), remaining)
+    elif config.use_sorted_film:
+        # ---- sorted-prefix film: K scatter slots instead of B ----
+        # The scatter prices ~40 ns per ISSUED slot (OOB drops included);
+        # deaths average ~0.25*B per transition, so the legacy B-slot
+        # scatter wastes ~4x.  Accept at most K = b >> film_k_shift
+        # records (rank-gated BEFORE the sort so nothing is ever lost),
+        # compact them to the front with one lax.sort (~4 ns/row) and
+        # scatter only that prefix.  Rejected lanes park their (clamped)
+        # radiance in-lane, skip regeneration, and retry next transition;
+        # the pass loop flushes stragglers after the while loop.
+        pix_local = s.pixel - jnp.asarray(shard[0], jnp.int32)
+        k_slots = max(b >> config.film_k_shift, 1)
+        emit = died | s.rec_pending
+        rank_e = jnp.cumsum(emit.astype(jnp.int32)) - 1
+        accepted = emit & (rank_e < k_slots)
+        # Invalid rows get DISTINCT ascending OOB keys (npix + lane): they
+        # sort after every valid pixel, and any that land inside the
+        # prefix are dropped by the scatter without duplicate
+        # serialization.
+        key = jnp.where(accepted, pix_local,
+                        npix_l + jnp.arange(b, dtype=jnp.int32))
+        ks, r0, r1, r2 = jax.lax.sort(
+            (key, rad_out[:, 0], rad_out[:, 1], rad_out[:, 2]), num_keys=1)
+        film = s.film.at[ks[:k_slots]].add(
+            jnp.stack([r0[:k_slots], r1[:k_slots], r2[:k_slots]], axis=1))
+        rec_pending = emit & ~accepted
+
+        avail = dead_now & ~rec_pending
+        remaining = budget - s.queue_head
+        rank = jnp.cumsum(avail.astype(jnp.int32)) - 1
+        work_id = s.queue_head + rank
+        take = avail & (rank < remaining)
+        pixel_new = (work_id % npix_l).astype(jnp.uint32) + jnp.asarray(pixel_base, jnp.uint32)
+        sample_new = (
+            (work_id // npix_l).astype(jnp.uint32)
+            + jnp.asarray(current_sample, jnp.uint32)
+            + jnp.asarray(sample_base, jnp.uint32)
+        )
+        queue_head = s.queue_head + jnp.minimum(jnp.sum(avail.astype(jnp.int32)), remaining)
+        accum, samp_i, samp_i_base = s.accum, s.samp_i, s.samp_i_base
+        flush_pix, flush_rgb = s.flush_pix, s.flush_rgb
+        # Parked lanes store the firefly-clamped/canary value so the
+        # eventual flush (next acceptance or post-loop) is identical to an
+        # immediate splat; clamping is idempotent.
+        radiance_next = jnp.where(
+            (accepted | take)[:, None], 0.0,
+            jnp.where(rec_pending[:, None], rad_out, radiance))
     else:
         # ---- legacy shared work queue + scatter-add film ----
         # Film rows are shard-local; s.pixel is global. Lanes that did NOT
@@ -637,6 +689,10 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         accum, samp_i, samp_i_base = s.accum, s.samp_i, s.samp_i_base
         flush_pix, flush_rgb = s.flush_pix, s.flush_rgb
 
+    if not config.use_sorted_film:
+        rec_pending = s.rec_pending
+        radiance_next = jnp.where((died | take)[:, None], 0.0, radiance)
+
     rng_new = urng.seed(pixel_new, sample_new, params.seed_root)
     coords, rng_new = ucamera.jittered_pixel_coords(pixel_new, config, rng_new)
     o_new, d_new, rng_new = ucamera.get_screen_ray(coords, config, params, rng_new)
@@ -663,7 +719,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         hit_inst=hit_inst,
         pending=pending,
         throughput=jnp.where(take[:, None], 1.0, throughput),
-        radiance=jnp.where((died | take)[:, None], 0.0, radiance),
+        radiance=radiance_next,
         rng=jnp.where(take, rng_new, rng_state),
         pixel=jnp.where(take, pixel_new.astype(jnp.int32), s.pixel),
         depth=jnp.where(take, 0, depth),
@@ -682,6 +738,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         samp_i_base=samp_i_base,
         flush_pix=flush_pix,
         flush_rgb=flush_rgb,
+        rec_pending=rec_pending,
     )
 
 
@@ -770,6 +827,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         # duplicate the scatter serializes before dropping.
         flush_pix=npix_l + jnp.arange(b, dtype=jnp.int32),
         flush_rgb=z3,
+        rec_pending=jnp.zeros((b,), bool),
     )
 
     def cond(s: FusedState):
@@ -887,6 +945,15 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         final = jax.lax.while_loop(cond, body_flush, init)
     else:
         final = jax.lax.while_loop(cond, body, init)
+    if config.use_sorted_film:
+        # Straggler flush: lanes whose last death record was rank-rejected
+        # on the final transition still hold their (clamped) radiance.
+        base = 0 if shard_t is None else shard_t[0]
+        pixf = final.pixel - jnp.asarray(base, jnp.int32)
+        oobf = npix_l + jnp.arange(b, dtype=jnp.int32)
+        film = final.film.at[jnp.where(final.rec_pending, pixf, oobf)].add(
+            final.radiance)
+        final = final._replace(film=film)
     occupancy = final.busy.astype(jnp.float32) / jnp.maximum(
         final.ticks.astype(jnp.float32), 1.0
     )
