@@ -1,0 +1,70 @@
+"""Film-accumulation mode parity: legacy scatter vs lane film vs sorted-prefix.
+
+All three modes draw the identical (pixel, sample) seed set, so per-sample
+radiance is bit-identical; only the scatter-add association differs, which
+can move float sums by ~1 ulp (same tolerance as tests/test_multichip.py).
+
+The sorted-prefix mode (config.use_sorted_film) additionally rank-gates
+death records to K = pool >> film_k_shift per transition and parks the
+overflow in-lane; a large film_k_shift here forces heavy rejection so the
+backpressure + post-loop straggler flush paths are actually exercised.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from unity_webgpu_pathtracer_tpu.api import Renderer
+from unity_webgpu_pathtracer_tpu.config import RenderConfig
+from unity_webgpu_pathtracer_tpu.models.cornell import cornell_box
+from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+
+
+def _render(config, params, scene, passes=2):
+    r = Renderer(scene, config, params)
+    r.render(passes)
+    return r.radiance()
+
+
+@pytest.fixture(scope="module")
+def cornell_setup():
+    scene, cam = cornell_box()
+    size = 24
+    config = RenderConfig(width=size, height=size, samples_per_pass=4,
+                          max_bounces=3, sky_mode=2, traversal="wide",
+                          integrator="fused", pool_size=512)
+    params = make_camera_params(width=size, height=size, **cam)
+    legacy = _render(config, params, scene)
+    return scene, config, params, legacy
+
+
+def test_sorted_film_matches_legacy(cornell_setup):
+    scene, config, params, legacy = cornell_setup
+    f = _render(dataclasses.replace(config, use_sorted_film=True,
+                                    film_k_shift=1), params, scene)
+    np.testing.assert_allclose(f, legacy, rtol=3e-7, atol=1e-7)
+
+
+def test_sorted_film_backpressure_matches_legacy(cornell_setup):
+    # K = 512 >> 6 = 8 accepted records/transition: nearly every death is
+    # rank-rejected and parked, so completion relies on retry + the
+    # post-loop straggler flush. Radiance must still be conserved exactly.
+    scene, config, params, legacy = cornell_setup
+    f = _render(dataclasses.replace(config, use_sorted_film=True,
+                                    film_k_shift=6), params, scene)
+    np.testing.assert_allclose(f, legacy, rtol=3e-7, atol=1e-7)
+
+
+def test_lane_film_matches_legacy(cornell_setup):
+    scene, config, params, legacy = cornell_setup
+    f = _render(dataclasses.replace(config, use_lane_film=True),
+                params, scene)
+    np.testing.assert_allclose(f, legacy, rtol=3e-7, atol=1e-7)
+
+
+def test_sorted_film_deterministic(cornell_setup):
+    scene, config, params, _ = cornell_setup
+    cfg = dataclasses.replace(config, use_sorted_film=True, film_k_shift=2)
+    np.testing.assert_array_equal(_render(cfg, params, scene),
+                                  _render(cfg, params, scene))
