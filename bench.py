@@ -46,7 +46,9 @@ def main():
     # 32 spp/pass: the longer work queue amortizes the drain tail
     # (occupancy 0.957 -> 0.978, +2% — round-3 pool/spp sweep).
     spp = int(os.environ.get("BENCH_SPP", 32))
-    te = int(os.environ.get("BENCH_TE", 10))
+    # te=8 is the optimum under the sorted-prefix film (cheaper
+    # transitions move it down from 10: round8_sorted_te.py sweep).
+    te = int(os.environ.get("BENCH_TE", 8))
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     width, height = (512, 512) if small else (1920, 1080)
     target_tris = 64_000 if small else 1_000_000

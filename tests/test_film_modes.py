@@ -33,7 +33,8 @@ def cornell_setup():
     size = 24
     config = RenderConfig(width=size, height=size, samples_per_pass=4,
                           max_bounces=3, sky_mode=2, traversal="wide",
-                          integrator="fused", pool_size=512)
+                          integrator="fused", pool_size=512,
+                          use_sorted_film=False)
     params = make_camera_params(width=size, height=size, **cam)
     legacy = _render(config, params, scene)
     return scene, config, params, legacy
@@ -60,6 +61,17 @@ def test_lane_film_matches_legacy(cornell_setup):
     scene, config, params, legacy = cornell_setup
     f = _render(dataclasses.replace(config, use_lane_film=True),
                 params, scene)
+    np.testing.assert_allclose(f, legacy, rtol=3e-7, atol=1e-7)
+
+
+def test_lane_film_wins_dispatch_over_sorted(cornell_setup):
+    # use_lane_film takes the dispatch branch even when use_sorted_film is
+    # also set (the production default) — regression for an
+    # UnboundLocalError when the sorted-path fallbacks were gated on
+    # use_sorted_film alone.
+    scene, config, params, legacy = cornell_setup
+    f = _render(dataclasses.replace(config, use_lane_film=True,
+                                    use_sorted_film=True), params, scene)
     np.testing.assert_allclose(f, legacy, rtol=3e-7, atol=1e-7)
 
 

@@ -139,7 +139,11 @@ class RenderConfig:
     # record loss, so correctness is unconditional; a post-loop flush
     # catches stragglers.  Per-sample radiance is bit-identical to the
     # legacy film; only scatter-add association differs (<= 1 ulp).
-    use_sorted_film: bool = False
+    # Default ON: 28.68 -> 25.31 s/pass (+13%) on the 1M-tri bench with
+    # the te re-sweep (experiments/round8_sorted_te.py; the parking
+    # occupancy cost 0.977 -> 0.943 is far outweighed by the 40 ns/slot
+    # scatter saving).
+    use_sorted_film: bool = True
 
     # K = pool_size >> film_k_shift accepted film records per transition
     # (sorted film only).  Deaths average ~0.25*B per transition on the

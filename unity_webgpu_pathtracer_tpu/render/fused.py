@@ -689,7 +689,9 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         accum, samp_i, samp_i_base = s.accum, s.samp_i, s.samp_i_base
         flush_pix, flush_rgb = s.flush_pix, s.flush_rgb
 
-    if not config.use_sorted_film:
+    if config.use_lane_film or not config.use_sorted_film:
+        # Branches other than the sorted-prefix film (lane film takes the
+        # dispatch over use_sorted_film) carry these through unchanged.
         rec_pending = s.rec_pending
         radiance_next = jnp.where((died | take)[:, None], 0.0, radiance)
 
@@ -945,7 +947,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         final = jax.lax.while_loop(cond, body_flush, init)
     else:
         final = jax.lax.while_loop(cond, body, init)
-    if config.use_sorted_film:
+    if config.use_sorted_film and not config.use_lane_film:
         # Straggler flush: lanes whose last death record was rank-rejected
         # on the final transition still hold their (clamped) radiance.
         base = 0 if shard_t is None else shard_t[0]
