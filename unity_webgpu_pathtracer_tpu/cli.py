@@ -68,10 +68,10 @@ def cmd_render(args):
         and any(m.normal_texture >= 0 for m in scene.materials)
     ) or overrides.get("has_normal_maps", False)
     # Production defaults: fused + wide16 + the Pallas arrival kernel at
-    # cadence 10 (the bench-optimal config); every other backend remains
-    # selectable for cross-checking.
+    # cadence 8 (the bench-optimal config under the sorted-prefix film);
+    # every other backend remains selectable for cross-checking.
     if args.integrator == "fused" and "transition_every" not in overrides:
-        overrides["transition_every"] = 10
+        overrides["transition_every"] = 8
     config = RenderConfig(
         width=width, height=height,
         samples_per_pass=min(args.spp, args.spp_per_pass),
@@ -100,6 +100,36 @@ def cmd_render(args):
     post = PostParams(mode=TONEMAPS[args.tonemap], exposure=args.exposure)
     r.save_png(args.out, post)
     print(args.out)
+
+
+def cmd_view(args):
+    """Interactive viewer: progressive render + fly camera + material
+    sliders in a local browser (FreeViewCamera.cs / DisneyBRDFTest.cs /
+    PathTracerGUI.cs analogues — see viewer.py)."""
+    from unity_webgpu_pathtracer_tpu.api import Renderer
+    from unity_webgpu_pathtracer_tpu.config import PostParams, RenderConfig
+    from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+    from unity_webgpu_pathtracer_tpu.viewer import Viewer, serve
+
+    scene, cam, overrides = _load_scene(args.scene)
+    width = height = args.size
+    overrides = dict(overrides)
+    overrides.setdefault("traversal", args.traversal)
+    overrides["has_lights"] = bool(scene.lights) or overrides.get("has_lights", False)
+    overrides["has_textures"] = bool(scene.textures) or overrides.get("has_textures", False)
+    config = RenderConfig(
+        width=width, height=height, samples_per_pass=args.spp_per_pass,
+        max_bounces=args.bounces, integrator="fused",
+        use_pallas_arrival=jax.default_backend() == "tpu",
+        transition_every=overrides.pop("transition_every", 8),
+        **overrides,
+    )
+    params = make_camera_params(width=width, height=height, **cam)
+    r = Renderer(scene, config, params)
+    v = Viewer(r, cam, post=PostParams(mode=TONEMAPS[args.tonemap]),
+               max_spp=args.max_spp)
+    print(f"http://{args.host}:{args.port}/", file=sys.stderr)
+    serve(v, host=args.host, port=args.port)
 
 
 def cmd_examples(_args):
@@ -132,7 +162,7 @@ def cmd_animate(args):
         width=width, height=height, samples_per_pass=args.spp,
         max_bounces=args.bounces, integrator="fused",
         use_pallas_arrival=jax.default_backend() == "tpu",
-        transition_every=overrides.pop("transition_every", 10),
+        transition_every=overrides.pop("transition_every", 8),
         **overrides,
     )
     params = make_camera_params(width=width, height=height, **cam)
@@ -193,6 +223,21 @@ def main(argv=None):
 
     pe = sub.add_parser("examples", help="list builtin scenes")
     pe.set_defaults(fn=cmd_examples)
+
+    pv = sub.add_parser("view", help="interactive browser viewer "
+                                     "(fly camera + material sliders)")
+    pv.add_argument("scene", help="builtin:<name> | path.obj | path.glb")
+    pv.add_argument("--size", type=int, default=256)
+    pv.add_argument("--spp-per-pass", type=int, default=2)
+    pv.add_argument("--max-spp", type=int, default=4096)
+    pv.add_argument("--bounces", type=int, default=4)
+    pv.add_argument("--traversal", default="wide16",
+                    choices=["bruteforce", "mbvh", "skip", "wide", "wide2",
+                             "wide8", "wide16"])
+    pv.add_argument("--tonemap", default="aces", choices=list(TONEMAPS))
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8000)
+    pv.set_defaults(fn=cmd_view)
 
     pa = sub.add_parser(
         "animate",

@@ -28,8 +28,9 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write an (H, W, 3|4) uint8 or float image (floats are clipped to [0,1])."""
+def encode_png(image: np.ndarray) -> bytes:
+    """Encode an (H, W, 3|4) uint8 or float image (floats clipped to [0,1])
+    as PNG bytes."""
     img = np.asarray(image)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
@@ -42,11 +43,16 @@ def write_png(path: str, image: np.ndarray) -> None:
     header = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     # Filter byte 0 (None) per scanline.
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", header)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an (H, W, 3|4) uint8 or float image (floats are clipped to [0,1])."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(_png_chunk(b"IHDR", header))
-        f.write(_png_chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(_png_chunk(b"IEND", b""))
+        f.write(encode_png(image))
 
 
 def read_png(path: str) -> np.ndarray:
