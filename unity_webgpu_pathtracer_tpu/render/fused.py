@@ -637,8 +637,12 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
                         npix_l + jnp.arange(b, dtype=jnp.int32))
         ks, r0, r1, r2 = jax.lax.sort(
             (key, rad_out[:, 0], rad_out[:, 1], rad_out[:, 2]), num_keys=1)
+        # The prefix keys come straight out of lax.sort — tell the scatter
+        # so XLA can take its sorted-indices path (duplicates remain, so
+        # unique_indices stays False).
         film = s.film.at[ks[:k_slots]].add(
-            jnp.stack([r0[:k_slots], r1[:k_slots], r2[:k_slots]], axis=1))
+            jnp.stack([r0[:k_slots], r1[:k_slots], r2[:k_slots]], axis=1),
+            indices_are_sorted=True)
         rec_pending = emit & ~accepted
 
         avail = dead_now & ~rec_pending
