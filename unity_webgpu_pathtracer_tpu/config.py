@@ -146,9 +146,10 @@ class RenderConfig:
     use_sorted_film: bool = True
 
     # K = pool_size >> film_k_shift accepted film records per transition
-    # (sorted film only).  Deaths average ~0.25*B per transition on the
-    # bench, so shift 1 (K = B/2) never throttles; shift 2 is tighter but
-    # saves another ~2.8 ms/super-iteration.
+    # (sorted film only).  Measured on the 1M-tri bench
+    # (experiments/round8_sortfilm_ab.py): shift 1 (K = B/2) wins; shift 2
+    # throttles on synchronized death bursts (occupancy 0.751), shift 3
+    # collapses (0.397).  Keep 1.
     film_k_shift: int = 1
 
     # Gather-free first-arrival prestep for fresh ray segments (wide16):
