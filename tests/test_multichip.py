@@ -108,9 +108,10 @@ def test_multichip_fused_equals_single_chip():
 
 def test_multichip_fused_flagship_wide16():
     """The SHIPPED flagship config (fused + wide16 + prestep + Pallas
-    interpret + lane/legacy film) sharded over (tile, spp) must match the
-    single-chip film to 1 ulp (sample radiance is bitwise; only scatter
-    association differs across the psum) — verdict item 4's test."""
+    interpret + sorted-prefix film, all config defaults) sharded over
+    (tile, spp) must match the single-chip film to 1 ulp (sample radiance
+    is bitwise; only scatter association differs across the psum) —
+    verdict item 4's test."""
     import jax
     import numpy as np
 
