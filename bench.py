@@ -50,6 +50,13 @@ def main():
     # transitions move it down from 10: round8_sorted_te.py sweep).
     te = int(os.environ.get("BENCH_TE", 8))
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    # Record film (append + end-of-pass sort resolve) A/B toggle; the
+    # config default governs when unset.
+    record = os.environ.get("BENCH_RECORD")
+    film_kw = {}
+    if record is not None:
+        film_kw["use_record_film"] = record == "1"
+        film_kw["film_k_shift"] = int(os.environ.get("BENCH_KSHIFT", 0))
     width, height = (512, 512) if small else (1920, 1080)
     target_tris = 64_000 if small else 1_000_000
     if small:
@@ -63,7 +70,7 @@ def main():
         traversal=trav, sky_mode=SKY_MODE_ENVIRONMENT,
         has_environment_texture=True, use_russian_roulette=True,
         integrator="fused", pool_size=pool, bvh_octants=1, transition_every=te,
-        use_pallas_arrival=pallas,
+        use_pallas_arrival=pallas, **film_kw,
     )
     scene_data = scene.build(config.traversal, octants=config.bvh_octants)
     ntris = int(scene_data.tris.shape[0])

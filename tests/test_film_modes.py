@@ -57,6 +57,39 @@ def test_sorted_film_backpressure_matches_legacy(cornell_setup):
     np.testing.assert_allclose(f, legacy, rtol=3e-7, atol=1e-7)
 
 
+def test_record_film_matches_legacy(cornell_setup):
+    scene, config, params, legacy = cornell_setup
+    f = _render(dataclasses.replace(config, use_record_film=True,
+                                    film_k_shift=1), params, scene)
+    np.testing.assert_allclose(f, legacy, rtol=3e-7, atol=1e-7)
+
+
+def test_record_film_backpressure_matches_legacy(cornell_setup):
+    # K = 512 >> 6 = 8 accepted records/transition: nearly every death is
+    # rank-rejected and parked, so completion relies on retry + the
+    # post-loop straggler append. Radiance must still be conserved.
+    scene, config, params, legacy = cornell_setup
+    f = _render(dataclasses.replace(config, use_record_film=True,
+                                    film_k_shift=6), params, scene)
+    np.testing.assert_allclose(f, legacy, rtol=3e-7, atol=1e-7)
+
+
+def test_record_film_takes_dispatch_over_sorted(cornell_setup):
+    # use_record_film takes the branch even when use_sorted_film (the
+    # production default) is also set.
+    scene, config, params, legacy = cornell_setup
+    f = _render(dataclasses.replace(config, use_record_film=True,
+                                    use_sorted_film=True), params, scene)
+    np.testing.assert_allclose(f, legacy, rtol=3e-7, atol=1e-7)
+
+
+def test_record_film_deterministic(cornell_setup):
+    scene, config, params, _ = cornell_setup
+    cfg = dataclasses.replace(config, use_record_film=True, film_k_shift=2)
+    np.testing.assert_array_equal(_render(cfg, params, scene),
+                                  _render(cfg, params, scene))
+
+
 def test_lane_film_matches_legacy(cornell_setup):
     scene, config, params, legacy = cornell_setup
     f = _render(dataclasses.replace(config, use_lane_film=True),

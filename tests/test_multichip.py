@@ -147,3 +147,47 @@ def test_multichip_fused_flagship_wide16():
     np.testing.assert_allclose(a, b, rtol=3e-7, atol=0.0)
     assert (a == b).mean() > 0.99, (a == b).mean()
     assert int(rays) > 0 and float(occ) > 0
+
+
+def test_multichip_fused_record_film():
+    """Record film (append buffer + end-of-pass sort resolve) sharded over
+    (tile, spp): each shard's record buffer/resolve is shard-local, so the
+    psum-reduced film must match single-chip to the same 1-ulp association
+    tolerance as the other film modes."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from unity_webgpu_pathtracer_tpu.config import RenderConfig
+    from unity_webgpu_pathtracer_tpu.models.cornell import cornell_box
+    from unity_webgpu_pathtracer_tpu.parallel.film_tiling import (
+        make_mesh,
+        multichip_fused_pass,
+    )
+    from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    size = 32
+    scene, cam = cornell_box()
+    sd = scene.build("wide16")
+    params = make_camera_params(width=size, height=size, **cam)
+
+    def cfg(spp):
+        return RenderConfig(
+            width=size, height=size, samples_per_pass=spp, max_bounces=3,
+            traversal="wide16", sky_mode=2, integrator="fused",
+            pool_size=1024, use_prestep=True, use_pallas_arrival=True,
+            use_record_film=True, film_k_shift=0,
+        )
+
+    mesh = make_mesh(n_tile=4, n_spp=2)
+    film_mc, occ, rays, _ = multichip_fused_pass(
+        sd, cfg(2), params, 0, mesh, pool_size=1024)
+    film_1, *_ = jax.jit(
+        fused_pass_with_stats, static_argnums=(1,),
+        static_argnames=("pool_size",),
+    )(sd, cfg(4), params, 0, pool_size=1024)
+    a, b = np.asarray(film_mc), np.asarray(film_1)
+    np.testing.assert_allclose(a, b, rtol=3e-7, atol=1e-7)
+    assert int(rays) > 0 and float(occ) > 0

@@ -146,11 +146,26 @@ class RenderConfig:
     use_sorted_film: bool = True
 
     # K = pool_size >> film_k_shift accepted film records per transition
-    # (sorted film only).  Measured on the 1M-tri bench
+    # (sorted and record films).  Measured on the 1M-tri bench
     # (experiments/round8_sortfilm_ab.py): shift 1 (K = B/2) wins; shift 2
     # throttles on synchronized death bursts (occupancy 0.751), shift 3
     # collapses (0.397).  Keep 1.
     film_k_shift: int = 1
+
+    # Record film (fused integrator): removes the film scatter from the
+    # hot loop ENTIRELY.  Death records are rank-gated and sort-compacted
+    # exactly like the sorted-prefix film, but the K-prefix is APPENDED to
+    # a pass-lifetime (budget + pool) record buffer with one
+    # ``lax.dynamic_update_slice`` (a contiguous in-place DMA — the while
+    # carry aliases, no scatter slots at all) at a moving cursor; garbage
+    # tail rows are overwritten by the next append.  Each (pixel, sample)
+    # work item dies exactly once, so the pass produces exactly
+    # npix*spp valid records; ONE end-of-pass global sort groups them by
+    # pixel into a dense (npix, spp, 3) block that a plain reshape-sum
+    # resolves — no scatter there either.  Takes precedence over
+    # use_sorted_film.  Film association differs from the legacy scatter
+    # by sum order only (<= 1 ulp); per-sample radiance is bit-identical.
+    use_record_film: bool = False
 
     # Gather-free first-arrival prestep for fresh ray segments (wide16):
     # the root level (and, for non-instanced scenes, the second level) is

@@ -157,6 +157,14 @@ class FusedState(NamedTuple):
     # hold their radiance and retry before taking new work.
     rec_pending: jnp.ndarray = jnp.zeros(1, bool)      # (B,)
 
+    # Record film (config.use_record_film): pass-lifetime death-record
+    # buffer (budget + pool rows) + append cursor.  Valid rows carry
+    # (pixel, rgb); never-written / garbage-tail rows carry key >= npix
+    # and sort to the back of the end-of-pass resolve.
+    rec_keys: jnp.ndarray = jnp.zeros(1, jnp.int32)    # (C,)
+    rec_vals: jnp.ndarray = jnp.zeros((1, 3))          # (C,3)
+    rec_cursor: jnp.ndarray = jnp.zeros((), jnp.int32)  # () rows appended
+
 
 def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
     """Point lanes' traversal at a fresh ray (world space, regs reset).
@@ -614,6 +622,51 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         film = s.film
         queue_head = s.queue_head + jnp.minimum(
             jnp.sum(need_chunk.astype(jnp.int32)), remaining)
+    elif config.use_record_film:
+        # ---- record film: append, don't scatter ----
+        # Identical rank-gate + sort compaction to the sorted-prefix film
+        # below, but the K-prefix is APPENDED to the pass-lifetime record
+        # buffer with one dynamic_update_slice (contiguous in-place DMA on
+        # the aliased while carry) instead of scattered.  The cursor
+        # advances by the ACCEPTED count only, so the garbage tail of this
+        # block (keys >= npix) is overwritten by the next append; the
+        # final block's tail sorts to the back of the end-of-pass resolve.
+        pix_local = s.pixel - jnp.asarray(shard[0], jnp.int32)
+        k_slots = max(b >> config.film_k_shift, 1)
+        emit = died | s.rec_pending
+        rank_e = jnp.cumsum(emit.astype(jnp.int32)) - 1
+        accepted = emit & (rank_e < k_slots)
+        key = jnp.where(accepted, pix_local,
+                        npix_l + jnp.arange(b, dtype=jnp.int32))
+        ks, r0, r1, r2 = jax.lax.sort(
+            (key, rad_out[:, 0], rad_out[:, 1], rad_out[:, 2]), num_keys=1)
+        rec_keys = jax.lax.dynamic_update_slice(
+            s.rec_keys, ks[:k_slots], (s.rec_cursor,))
+        rec_vals = jax.lax.dynamic_update_slice(
+            s.rec_vals,
+            jnp.stack([r0[:k_slots], r1[:k_slots], r2[:k_slots]], axis=1),
+            (s.rec_cursor, jnp.int32(0)))
+        rec_cursor = s.rec_cursor + jnp.sum(accepted.astype(jnp.int32))
+        rec_pending = emit & ~accepted
+        film = s.film  # (1,3) dummy; the film materializes at resolve
+
+        avail = dead_now & ~rec_pending
+        remaining = budget - s.queue_head
+        rank = jnp.cumsum(avail.astype(jnp.int32)) - 1
+        work_id = s.queue_head + rank
+        take = avail & (rank < remaining)
+        pixel_new = (work_id % npix_l).astype(jnp.uint32) + jnp.asarray(pixel_base, jnp.uint32)
+        sample_new = (
+            (work_id // npix_l).astype(jnp.uint32)
+            + jnp.asarray(current_sample, jnp.uint32)
+            + jnp.asarray(sample_base, jnp.uint32)
+        )
+        queue_head = s.queue_head + jnp.minimum(jnp.sum(avail.astype(jnp.int32)), remaining)
+        accum, samp_i, samp_i_base = s.accum, s.samp_i, s.samp_i_base
+        flush_pix, flush_rgb = s.flush_pix, s.flush_rgb
+        radiance_next = jnp.where(
+            (accepted | take)[:, None], 0.0,
+            jnp.where(rec_pending[:, None], rad_out, radiance))
     elif config.use_sorted_film:
         # ---- sorted-prefix film: K scatter slots instead of B ----
         # The scatter prices ~40 ns per ISSUED slot (OOB drops included);
@@ -693,11 +746,15 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         accum, samp_i, samp_i_base = s.accum, s.samp_i, s.samp_i_base
         flush_pix, flush_rgb = s.flush_pix, s.flush_rgb
 
-    if config.use_lane_film or not config.use_sorted_film:
-        # Branches other than the sorted-prefix film (lane film takes the
-        # dispatch over use_sorted_film) carry these through unchanged.
+    record_mode = config.use_record_film and not config.use_lane_film
+    if config.use_lane_film or not (config.use_sorted_film
+                                    or config.use_record_film):
+        # Branches other than the sorted/record films (lane film takes the
+        # dispatch over both) carry these through unchanged.
         rec_pending = s.rec_pending
         radiance_next = jnp.where((died | take)[:, None], 0.0, radiance)
+    if not record_mode:
+        rec_keys, rec_vals, rec_cursor = s.rec_keys, s.rec_vals, s.rec_cursor
 
     rng_new = urng.seed(pixel_new, sample_new, params.seed_root)
     coords, rng_new = ucamera.jittered_pixel_coords(pixel_new, config, rng_new)
@@ -745,6 +802,9 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         flush_pix=flush_pix,
         flush_rgb=flush_rgb,
         rec_pending=rec_pending,
+        rec_keys=rec_keys,
+        rec_vals=rec_vals,
+        rec_cursor=rec_cursor,
     )
 
 
@@ -802,11 +862,25 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             ptr=jnp.full((b,), n_nodes, jnp.int32))
 
     lane_film = config.use_lane_film
+    record_film = config.use_record_film and not lane_film
     spp_l_ = budget // npix_l
     ch_ = _chunk_size(config, spp_l_)
     z3 = jnp.zeros((b, 3), jnp.float32)
     zi = jnp.zeros((b,), jnp.int32)
     zf = jnp.zeros((b,), jnp.float32)
+    if record_film:
+        # budget rows of real records + a pool-sized block for the final
+        # append's garbage tail (the post-loop straggler append writes a
+        # full b-row block).  Never-written rows keep the 2**30 sentinel
+        # key and sort behind every valid pixel.
+        rec_cap = budget + b
+        rec_keys0 = jnp.full((rec_cap,), 1 << 30, jnp.int32)
+        rec_vals0 = jnp.zeros((rec_cap, 3), jnp.float32)
+        film0 = jnp.zeros((1, 3), jnp.float32)
+    else:
+        rec_keys0 = jnp.zeros((1,), jnp.int32)
+        rec_vals0 = jnp.zeros((1, 3), jnp.float32)
+        film0 = jnp.zeros((npix_l, 3), jnp.float32)
     init = FusedState(
         mode=jnp.full((b,), MODE_DEAD, jnp.int32),
         trav=trav0,
@@ -818,7 +892,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         pending=z3, throughput=z3, radiance=z3,
         rng=jnp.zeros((b,), jnp.uint32), pixel=zi, depth=zi,
         max_roughness=zf, prev_pdf=zf, lane_cap=zi,
-        film=jnp.zeros((npix_l, 3), jnp.float32),
+        film=film0,
         queue_head=jnp.asarray(0, jnp.int32),
         arrivals=jnp.asarray(0, jnp.int32),
         rays=jnp.asarray(0, jnp.int32),
@@ -834,6 +908,9 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         flush_pix=npix_l + jnp.arange(b, dtype=jnp.int32),
         flush_rgb=z3,
         rec_pending=jnp.zeros((b,), bool),
+        rec_keys=rec_keys0,
+        rec_vals=rec_vals0,
+        rec_cursor=jnp.asarray(0, jnp.int32),
     )
 
     def cond(s: FusedState):
@@ -951,7 +1028,32 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         final = jax.lax.while_loop(cond, body_flush, init)
     else:
         final = jax.lax.while_loop(cond, body, init)
-    if config.use_sorted_film and not config.use_lane_film:
+    if record_film:
+        # Straggler append (lanes whose last record was rank-rejected on
+        # the final transition), then the resolve: ONE global sort groups
+        # the exactly-budget valid records by pixel; since the work queue
+        # is pixel-major, every pixel owns exactly spp_l of them and a
+        # dense reshape-sum produces the film with no scatter at all.
+        base = 0 if shard_t is None else shard_t[0]
+        pixf = final.pixel - jnp.asarray(base, jnp.int32)
+        key = jnp.where(final.rec_pending, pixf, jnp.int32(1 << 30))
+        ks, r0, r1, r2 = jax.lax.sort(
+            (key, final.radiance[:, 0], final.radiance[:, 1],
+             final.radiance[:, 2]), num_keys=1)
+        rec_keys = jax.lax.dynamic_update_slice(
+            final.rec_keys, ks, (final.rec_cursor,))
+        rec_vals = jax.lax.dynamic_update_slice(
+            final.rec_vals, jnp.stack([r0, r1, r2], axis=1),
+            (final.rec_cursor, jnp.int32(0)))
+        _, v0, v1, v2 = jax.lax.sort(
+            (rec_keys, rec_vals[:, 0], rec_vals[:, 1], rec_vals[:, 2]),
+            num_keys=1)
+        film = jnp.stack(
+            [v0[:budget].reshape(npix_l, spp_l_).sum(axis=1),
+             v1[:budget].reshape(npix_l, spp_l_).sum(axis=1),
+             v2[:budget].reshape(npix_l, spp_l_).sum(axis=1)], axis=1)
+        final = final._replace(film=film)
+    elif config.use_sorted_film and not config.use_lane_film:
         # Straggler flush: lanes whose last death record was rank-rejected
         # on the final transition still hold their (clamped) radiance.
         base = 0 if shard_t is None else shard_t[0]
