@@ -30,8 +30,12 @@ from unity_webgpu_pathtracer_tpu.scene.scene import Scene, SceneData
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _pass_and_accumulate(scene, config, params, film):
-    """One jitted progressive pass: trace + film update."""
-    total = render_pass(scene, config, params, film.sample_count)
+    """One jitted progressive pass: trace + film update.
+
+    ``jnp.max`` collapses a per-pixel sample count (temporal reprojection
+    leaves one behind) to a scalar pass base for RNG stream indexing —
+    sample seeds only need uniqueness per (pixel, sample index)."""
+    total = render_pass(scene, config, params, jnp.max(film.sample_count))
     total = total.reshape(config.height, config.width, 3)
     return ufilm.accumulate(film, total, config.samples_per_pass)
 
@@ -117,8 +121,25 @@ class Renderer:
         self.scene = self.scene._replace(lights=jnp.asarray(table))
         self.reset()
 
-    def update_camera(self, params: RenderParams) -> None:
-        """New camera/uniforms; resets accumulation (PathTracer.cs:211-222)."""
+    def update_camera(self, params: RenderParams, reproject: bool = False,
+                      max_history: int | None = None) -> None:
+        """New camera/uniforms; resets accumulation (PathTracer.cs:211-222).
+
+        With ``reproject=True`` the accumulated history is warped through
+        the camera move instead (BASELINE.md milestone 5's "temporal
+        reprojection"): surviving pixels keep their converged radiance
+        with a per-pixel sample count, disoccluded pixels restart.
+        ``max_history`` bounds the carried count (TAA-style history clamp)."""
+        if reproject:
+            from unity_webgpu_pathtracer_tpu.render.reproject import (
+                reproject_film,
+            )
+
+            self.film = reproject_film(self.scene, self.config, self.film,
+                                       self.params, params,
+                                       max_history=max_history)
+            self.params = params
+            return
         self.params = params
         self.reset()
 
@@ -155,7 +176,8 @@ class Renderer:
 
     @property
     def sample_count(self) -> int:
-        return int(self.film.sample_count)
+        # Per-pixel after a reprojection; report the max (= pass count).
+        return int(jnp.max(self.film.sample_count))
 
     def radiance(self) -> np.ndarray:
         """Linear mean radiance (H, W, 3), row 0 = bottom."""

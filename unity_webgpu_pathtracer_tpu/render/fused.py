@@ -1072,6 +1072,6 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
 def fused_pass_and_accumulate(scene, config: RenderConfig,
                               params: RenderParams, film: ufilm.Film):
     total, _occ, _r, _a = fused_pass_with_stats(scene, config, params,
-                                                film.sample_count)
+                                                jnp.max(film.sample_count))
     total = total.reshape(config.height, config.width, 3)
     return ufilm.accumulate(film, total, config.samples_per_pass)

@@ -182,6 +182,7 @@ def wavefront_pass_with_stats(scene, config, params, current_sample,
 @functools.partial(jax.jit, static_argnums=(1,))
 def wavefront_pass_and_accumulate(scene, config: RenderConfig,
                                   params: RenderParams, film: ufilm.Film):
-    total, _occ = wavefront_pass(scene, config, params, film.sample_count)
+    total, _occ = wavefront_pass(scene, config, params,
+                                 jnp.max(film.sample_count))
     total = total.reshape(config.height, config.width, 3)
     return ufilm.accumulate(film, total, config.samples_per_pass)
