@@ -98,6 +98,35 @@ def test_viewer_material_edit(viewer_server):
     assert new["roughness"] == pytest.approx(0.123)
 
 
+def test_viewer_reprojecting_flycam_keeps_history():
+    """With reproject=True (CLI --reproject), a small camera move carries
+    the accumulated history (per-pixel counts) instead of restarting."""
+    scene, cam = cornell_box()
+    size = 24
+    config = RenderConfig(width=size, height=size, samples_per_pass=2,
+                          max_bounces=2, sky_mode=2, traversal="wide",
+                          integrator="fused", pool_size=512)
+    params = make_camera_params(width=size, height=size, **cam)
+    v = Viewer(Renderer(scene, config, params), cam, max_spp=100000,
+               reproject=True, max_history=64)
+    server = serve(v, port=0, block=False)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        _wait_spp(base, 4)
+        eye = list(cam["eye"])
+        eye[0] += 0.01
+        assert _post(base, "/camera", {"eye": eye})["ok"]
+        state = json.loads(_get(base, "/state")[0])
+        assert state["spp"] >= 4, "history must survive a tiny fly-cam move"
+        counts = np.asarray(v.r.film.sample_count)
+        assert counts.shape == (size, size, 1)
+        assert (counts[..., 0] > 0).mean() > 0.5
+        _wait_spp(base, state["spp"] + 2)  # still rendering progressively
+    finally:
+        server.shutdown()
+        v.stop()
+
+
 def test_viewer_rejects_unknown_material_field(viewer_server):
     _v, base = viewer_server
     req = urllib.request.Request(

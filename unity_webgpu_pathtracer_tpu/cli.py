@@ -127,7 +127,7 @@ def cmd_view(args):
     params = make_camera_params(width=width, height=height, **cam)
     r = Renderer(scene, config, params)
     v = Viewer(r, cam, post=PostParams(mode=TONEMAPS[args.tonemap]),
-               max_spp=args.max_spp)
+               max_spp=args.max_spp, reproject=args.reproject)
     print(f"http://{args.host}:{args.port}/", file=sys.stderr)
     serve(v, host=args.host, port=args.port)
 
@@ -235,6 +235,9 @@ def main(argv=None):
                     choices=["bruteforce", "mbvh", "skip", "wide", "wide2",
                              "wide8", "wide16"])
     pv.add_argument("--tonemap", default="aces", choices=list(TONEMAPS))
+    pv.add_argument("--reproject", action="store_true",
+                    help="fly-cam moves warp accumulated history "
+                         "(temporal reprojection) instead of resetting")
     pv.add_argument("--host", default="127.0.0.1")
     pv.add_argument("--port", type=int, default=8000)
     pv.set_defaults(fn=cmd_view)

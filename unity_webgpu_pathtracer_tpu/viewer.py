@@ -51,12 +51,17 @@ class Viewer:
     """Progressive render loop + edit queue around a ``Renderer``."""
 
     def __init__(self, renderer, cam: dict, post: PostParams = PostParams(mode=1),
-                 max_spp: int = 4096, bounce: bool = False):
+                 max_spp: int = 4096, bounce: bool = False,
+                 reproject: bool = False, max_history: int = 256):
         self.r = renderer
         self.cam = dict(cam)
         self.post = post
         self.max_spp = max_spp
         self.bounce = bounce
+        # Fly-cam moves warp accumulated history instead of restarting
+        # (render/reproject.py); disocclusions restart per pixel.
+        self.reproject = reproject
+        self.max_history = max_history
         self.lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -108,7 +113,10 @@ class Viewer:
             params = make_camera_params(
                 width=self.r.config.width, height=self.r.config.height,
                 **self.cam)
-            self.r.update_camera(params)   # resets accumulation
+            # Reprojected fly-cam: carry converged history through the
+            # move; falls back to the reference's full reset when off.
+            self.r.update_camera(params, reproject=self.reproject,
+                                 max_history=self.max_history)
 
     def set_material(self, material_id: int, **fields) -> None:
         with self.lock:
