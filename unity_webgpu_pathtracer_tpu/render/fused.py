@@ -634,8 +634,13 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         pix_local = s.pixel - jnp.asarray(shard[0], jnp.int32)
         k_slots = max(b >> config.film_k_shift, 1)
         emit = died | s.rec_pending
-        rank_e = jnp.cumsum(emit.astype(jnp.int32)) - 1
-        accepted = emit & (rank_e < k_slots)
+        if k_slots >= b:
+            # K = B: every record fits in the appended block — no rank
+            # gate, no backpressure (statically removes the cumsum).
+            accepted = emit
+        else:
+            rank_e = jnp.cumsum(emit.astype(jnp.int32)) - 1
+            accepted = emit & (rank_e < k_slots)
         key = jnp.where(accepted, pix_local,
                         npix_l + jnp.arange(b, dtype=jnp.int32))
         ks, r0, r1, r2 = jax.lax.sort(
