@@ -137,7 +137,7 @@ class FusedState(NamedTuple):
 
     film: jnp.ndarray          # (npix,3) [legacy scatter film; (1,3) dummy]
     queue_head: jnp.ndarray    # () samples started (legacy: queue cursor)
-    arrivals: jnp.ndarray      # () int64-ish counter (int32)
+    arrivals: jnp.ndarray      # () uint32 (1080p x 32 spp ~ 1.7e9 > int32/2)
     rays: jnp.ndarray          # () closest+shadow rays started
     busy: jnp.ndarray          # () lanes busy ticks
     ticks: jnp.ndarray         # ()
@@ -899,7 +899,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         max_roughness=zf, prev_pdf=zf, lane_cap=zi,
         film=film0,
         queue_head=jnp.asarray(0, jnp.int32),
-        arrivals=jnp.asarray(0, jnp.int32),
+        arrivals=jnp.asarray(0, jnp.uint32),
         rays=jnp.asarray(0, jnp.int32),
         busy=jnp.asarray(0, jnp.int32),
         ticks=jnp.asarray(0, jnp.int32),
@@ -995,7 +995,8 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             trav_done = trav.ptr >= n_nodes
         s = s._replace(
             trav=trav,
-            arrivals=s.arrivals + te * jnp.sum(stepping.astype(jnp.int32)),
+            arrivals=s.arrivals
+            + jnp.uint32(te) * jnp.sum(stepping.astype(jnp.uint32)),
             busy=s.busy + jnp.sum((s.mode != MODE_DEAD).astype(jnp.int32)),
             ticks=s.ticks + b,
         )
