@@ -9,6 +9,8 @@ reference publishes no numbers).
 Flags (env vars):
   BENCH_SMALL=1   quick mode (64K tris, 512x512) for smoke testing
   BENCH_POOL=N    wavefront pool size (default 1<<17)
+  BENCH_CORNELL=1 report BASELINE.md's third metric instead:
+                  time-to-1024spp on the 256x256 Cornell box
 """
 
 import json
@@ -21,6 +23,57 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def bench_cornell():
+    """BASELINE.md metric 3: time-to-1024 spp on the 256^2 Cornell box.
+
+    The reference renders Cornell at samplesPerPass=1 progressive; here
+    one jitted fused pass does 64 spp and 16 passes reach 1024.
+    """
+    import time as _t
+
+    import jax
+
+    from unity_webgpu_pathtracer_tpu.config import RenderConfig
+    from unity_webgpu_pathtracer_tpu.models.cornell import cornell_box
+    from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    log(f"devices: {jax.devices()}")
+    scene, cam = cornell_box()
+    size = int(os.environ.get("BENCH_CORNELL_SIZE", 256))
+    spp_pass = int(os.environ.get("BENCH_CORNELL_SPP", 64))
+    target = int(os.environ.get("BENCH_CORNELL_TARGET", 1024))
+    config = RenderConfig(
+        width=size, height=size, samples_per_pass=spp_pass, max_bounces=4,
+        sky_mode=2, traversal="wide16", integrator="fused",
+        pool_size=1 << 17,
+        use_pallas_arrival=jax.default_backend() == "tpu",
+    )
+    sd = scene.build(config.traversal)
+    params = make_camera_params(width=size, height=size, **cam)
+    step = jax.jit(fused_pass_with_stats, static_argnums=(1,),
+                   static_argnames=("pool_size",))
+    film, *_ = step(sd, config, params, 0, pool_size=config.pool_size)
+    _ = np.asarray(film[:4])  # compile + settle
+    t0 = _t.time()
+    total = None
+    for i in range(target // spp_pass):
+        film, _occ, _rays, _arr = step(sd, config, params, i * spp_pass,
+                                       pool_size=config.pool_size)
+        film_np = np.asarray(film)  # host read inside the timed region
+        total = film_np if total is None else total + film_np
+    dt = _t.time() - t0
+    log(f"cornell {size}^2: {target} spp in {dt:.2f}s, film mean "
+        f"{total.mean() / target:.4f}")
+    print(json.dumps({
+        "metric": f"time-to-{target}spp (Cornell box {size}x{size}, "
+                  "fused wavefront)",
+        "value": round(dt, 2),
+        "unit": "s",
+        "vs_baseline": 0.0,
+    }))
 
 
 def main():
@@ -39,6 +92,9 @@ def main():
     from unity_webgpu_pathtracer_tpu.models.benchmark import million_triangle_scene
     from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
     from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    if os.environ.get("BENCH_CORNELL") == "1":
+        return bench_cornell()
 
     small = os.environ.get("BENCH_SMALL") == "1"
     pool = int(os.environ.get("BENCH_POOL", 1 << 18))
