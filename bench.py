@@ -25,7 +25,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_cornell():
+def bench_cornell(watchdog=None):
     """BASELINE.md metric 3: time-to-1024 spp on the 256^2 Cornell box.
 
     The reference renders Cornell at samplesPerPass=1 progressive; here
@@ -41,6 +41,8 @@ def bench_cornell():
     from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
 
     log(f"devices: {jax.devices()}")
+    if watchdog is not None:
+        watchdog.set()
     scene, cam = cornell_box()
     size = int(os.environ.get("BENCH_CORNELL_SIZE", 256))
     spp_pass = int(os.environ.get("BENCH_CORNELL_SPP", 64))
@@ -76,7 +78,27 @@ def bench_cornell():
     }))
 
 
+def _init_watchdog(timeout_s: float):
+    """Fail fast (exit 3) if backend init hangs — a wedged axon tunnel
+    makes ``jax.devices()`` block forever with no error; a crashed bench
+    with a clear message beats a silent hang. Disarmed once devices
+    enumerate."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            log(f"bench: backend init exceeded {timeout_s:.0f}s "
+                "(axon tunnel wedged?) — aborting")
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
+    watchdog = _init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))
     import jax
 
     # Persistent compilation cache: the second bench invocation skips the
@@ -94,7 +116,7 @@ def main():
     from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
 
     if os.environ.get("BENCH_CORNELL") == "1":
-        return bench_cornell()
+        return bench_cornell(watchdog)
 
     small = os.environ.get("BENCH_SMALL") == "1"
     pool = int(os.environ.get("BENCH_POOL", 1 << 18))
@@ -119,6 +141,7 @@ def main():
         pool = min(pool, 1 << 17)
 
     log(f"devices: {jax.devices()}")
+    watchdog.set()
     t0 = time.time()
     scene, cam = million_triangle_scene(target_tris)
     config = RenderConfig(
