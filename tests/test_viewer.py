@@ -19,8 +19,8 @@ from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
 from unity_webgpu_pathtracer_tpu.viewer import Viewer, serve
 
 
-def _get(base, path):
-    with urllib.request.urlopen(base + path, timeout=30) as r:
+def _get(base, path, timeout=30):
+    with urllib.request.urlopen(base + path, timeout=timeout) as r:
         return r.read(), r.headers.get("Content-Type")
 
 
@@ -48,8 +48,11 @@ def viewer_server():
 
 
 def _wait_spp(base, minimum, timeout=120):
-    for _ in range(int(timeout / 0.2)):
-        state = json.loads(_get(base, "/state")[0])
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        # A single GET can stall behind a long compile holding the viewer
+        # lock (saturated-CPU suite runs) — give it the whole budget.
+        state = json.loads(_get(base, "/state", timeout=timeout)[0])
         if state["spp"] >= minimum:
             return state
         time.sleep(0.2)
@@ -116,12 +119,15 @@ def test_viewer_reprojecting_flycam_keeps_history():
         eye = list(cam["eye"])
         eye[0] += 0.01
         assert _post(base, "/camera", {"eye": eye})["ok"]
-        state = json.loads(_get(base, "/state")[0])
+        # The first post-reprojection step recompiles the pass (the film
+        # pytree's sample_count changed shape), which can hold the viewer
+        # lock for minutes on a loaded CPU — use a generous timeout.
+        state = json.loads(_get(base, "/state", timeout=600)[0])
         assert state["spp"] >= 4, "history must survive a tiny fly-cam move"
         counts = np.asarray(v.r.film.sample_count)
         assert counts.shape == (size, size, 1)
         assert (counts[..., 0] > 0).mean() > 0.5
-        _wait_spp(base, state["spp"] + 2)  # still rendering progressively
+        _wait_spp(base, state["spp"] + 2, timeout=600)
     finally:
         server.shutdown()
         v.stop()
