@@ -90,6 +90,18 @@ def test_record_film_deterministic(cornell_setup):
                                   _render(cfg, params, scene))
 
 
+def test_sort_perm_variant_bitwise_matches(cornell_setup):
+    # film_sort_perm replaces radiance sort payloads with a stable
+    # permutation + gather; stability makes it BIT-identical per mode.
+    scene, config, params, _ = cornell_setup
+    for extra in ({"use_sorted_film": True},
+                  {"use_record_film": True, "film_k_shift": 0}):
+        a = _render(dataclasses.replace(config, **extra), params, scene)
+        b = _render(dataclasses.replace(config, film_sort_perm=True,
+                                        **extra), params, scene)
+        np.testing.assert_array_equal(a, b)
+
+
 def test_lane_film_matches_legacy(cornell_setup):
     scene, config, params, legacy = cornell_setup
     f = _render(dataclasses.replace(config, use_lane_film=True),

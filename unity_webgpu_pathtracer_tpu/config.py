@@ -152,6 +152,13 @@ class RenderConfig:
     # collapses (0.397).  Keep 1.
     film_k_shift: int = 1
 
+    # Sorted/record films: sort (key, lane-index) and GATHER the K-prefix
+    # radiance rows through the permutation instead of sorting the three
+    # radiance channels as sort payloads.  Wins iff lax.sort prices per
+    # operand-row more than a K-row gather costs
+    # (experiments/round8_sortprobe.py sort4 vs sort2+gth decides).
+    film_sort_perm: bool = False
+
     # Record film (fused integrator): removes the film scatter from the
     # hot loop ENTIRELY.  Death records are rank-gated and sort-compacted
     # exactly like the sorted-prefix film, but the K-prefix is APPENDED to

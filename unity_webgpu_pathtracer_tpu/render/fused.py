@@ -643,14 +643,20 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
             accepted = emit & (rank_e < k_slots)
         key = jnp.where(accepted, pix_local,
                         npix_l + jnp.arange(b, dtype=jnp.int32))
-        ks, r0, r1, r2 = jax.lax.sort(
-            (key, rad_out[:, 0], rad_out[:, 1], rad_out[:, 2]), num_keys=1)
+        if config.film_sort_perm:
+            ks, perm = jax.lax.sort(
+                (key, jnp.arange(b, dtype=jnp.int32)), num_keys=1)
+            pre = rad_out[perm[:k_slots]]
+        else:
+            ks, r0, r1, r2 = jax.lax.sort(
+                (key, rad_out[:, 0], rad_out[:, 1], rad_out[:, 2]),
+                num_keys=1)
+            pre = jnp.stack([r0[:k_slots], r1[:k_slots], r2[:k_slots]],
+                            axis=1)
         rec_keys = jax.lax.dynamic_update_slice(
             s.rec_keys, ks[:k_slots], (s.rec_cursor,))
         rec_vals = jax.lax.dynamic_update_slice(
-            s.rec_vals,
-            jnp.stack([r0[:k_slots], r1[:k_slots], r2[:k_slots]], axis=1),
-            (s.rec_cursor, jnp.int32(0)))
+            s.rec_vals, pre, (s.rec_cursor, jnp.int32(0)))
         rec_cursor = s.rec_cursor + jnp.sum(accepted.astype(jnp.int32))
         rec_pending = emit & ~accepted
         film = s.film  # (1,3) dummy; the film materializes at resolve
@@ -693,14 +699,20 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         # serialization.
         key = jnp.where(accepted, pix_local,
                         npix_l + jnp.arange(b, dtype=jnp.int32))
-        ks, r0, r1, r2 = jax.lax.sort(
-            (key, rad_out[:, 0], rad_out[:, 1], rad_out[:, 2]), num_keys=1)
+        if config.film_sort_perm:
+            ks, perm = jax.lax.sort(
+                (key, jnp.arange(b, dtype=jnp.int32)), num_keys=1)
+            pre = rad_out[perm[:k_slots]]
+        else:
+            ks, r0, r1, r2 = jax.lax.sort(
+                (key, rad_out[:, 0], rad_out[:, 1], rad_out[:, 2]),
+                num_keys=1)
+            pre = jnp.stack([r0[:k_slots], r1[:k_slots], r2[:k_slots]],
+                            axis=1)
         # The prefix keys come straight out of lax.sort — tell the scatter
         # so XLA can take its sorted-indices path (duplicates remain, so
         # unique_indices stays False).
-        film = s.film.at[ks[:k_slots]].add(
-            jnp.stack([r0[:k_slots], r1[:k_slots], r2[:k_slots]], axis=1),
-            indices_are_sorted=True)
+        film = s.film.at[ks[:k_slots]].add(pre, indices_are_sorted=True)
         rec_pending = emit & ~accepted
 
         avail = dead_now & ~rec_pending
