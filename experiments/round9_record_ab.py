@@ -61,6 +61,10 @@ def main():
         ("record  te8 k1", rec(8, 1)),
         ("record  te6 k0", rec(6, 0)),
         ("record  te5 k0", rec(5, 0)),
+        ("record  te8 k0 perm", dataclasses.replace(
+            rec(8, 0), film_sort_perm=True)),
+        ("sorted  te8 k1 perm", dataclasses.replace(
+            base, film_sort_perm=True)),
     ]
     films = {}
     for name, config in variants:
