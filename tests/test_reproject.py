@@ -96,6 +96,23 @@ def test_update_camera_reproject_then_step(setup):
     assert np.isfinite(np.asarray(r.film.accum)).all()
 
 
+def test_checkpoint_roundtrip_per_pixel_counts(setup, tmp_path):
+    scene, cam, config, params = setup
+    r = Renderer(scene, config, params)
+    r.render(2)
+    r.update_camera(params, reproject=True)  # per-pixel counts
+    path = str(tmp_path / "film.npz")
+    r.save_checkpoint(path)
+    r2 = Renderer(scene, config, params)
+    r2.load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(r2.film.accum),
+                                  np.asarray(r.film.accum))
+    np.testing.assert_array_equal(np.asarray(r2.film.sample_count),
+                                  np.asarray(r.film.sample_count))
+    r2.step()  # resumes cleanly with per-pixel counts
+    assert np.isfinite(np.asarray(r2.film.accum)).all()
+
+
 def test_update_camera_no_reproject_resets(setup):
     scene, cam, config, params = setup
     r = Renderer(scene, config, params)
