@@ -29,3 +29,6 @@ run gaps 2500 python experiments/round8_gaps.py
 run gatherprobe 2500 python experiments/round8_gatherprobe.py
 
 echo "=== campaign complete $(date)" | tee -a /tmp/r9/autorun.log
+
+# 7. SBVH on the beams scene (tree quality where it should pay)
+run sbvh_beams 3000 python experiments/round9_sbvh_beams.py

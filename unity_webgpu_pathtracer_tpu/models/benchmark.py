@@ -84,3 +84,65 @@ def sphere_copy(mesh, material_index):
 
     return Mesh(vertices=mesh.vertices, indices=mesh.indices, normals=mesh.normals,
                 tangents=mesh.tangents, uvs=mesh.uvs, material_index=material_index)
+
+
+def beam_scene(target_tris: int = 400_000, extent: float = 5.0,
+               seed: int = 7) -> tuple[Scene, dict]:
+    """Long thin beams crossing a cube — the SBVH stress case.
+
+    Every beam's AABB spans a large fraction of the scene, so binned-SAH
+    object splits produce massively overlapping nodes (every ray visits
+    most of the tree); spatial splits (``UWPT_BVH_QUALITY=1``,
+    tinybvh-``BuildHQ``-family) clip the references and restore locality.
+    This is the workload class where tree quality — a capability the
+    sphere-grid bench measured as NULL — actually pays.
+    """
+    from unity_webgpu_pathtracer_tpu.scene.mesh import Mesh
+
+    scene = Scene()
+    mats = [
+        scene.add_material(MaterialDesc(base_color=(0.75, 0.7, 0.6, 1.0),
+                                        roughness=0.55)),
+        scene.add_material(MaterialDesc(base_color=(0.4, 0.45, 0.55, 1.0),
+                                        metallic=0.9, roughness=0.25)),
+        scene.add_material(MaterialDesc(base_color=(0.6, 0.25, 0.2, 1.0),
+                                        roughness=0.75)),
+    ]
+    n_beams = max(target_tris // 2, 1)
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(-extent, extent, (n_beams, 3)).astype(np.float32)
+    b = rng.uniform(-extent, extent, (n_beams, 3)).astype(np.float32)
+    d = b - a
+    up = rng.normal(size=(n_beams, 3)).astype(np.float32)
+    w = np.cross(d, up)
+    w /= np.maximum(np.linalg.norm(w, axis=1, keepdims=True), 1e-8)
+    half_w = rng.uniform(0.004, 0.02, (n_beams, 1)).astype(np.float32)
+    w *= half_w
+    # Quad per beam: A-w, A+w, B+w, B-w -> 2 triangles.
+    verts = np.stack([a - w, a + w, b + w, b - w], axis=1)       # (N,4,3)
+    base = (np.arange(n_beams, dtype=np.int32) * 4)[:, None]
+    tris = np.concatenate([
+        base + np.array([[0, 1, 2]], np.int32),
+        base + np.array([[0, 2, 3]], np.int32),
+    ], axis=1).reshape(-1, 3)                                    # (2N,3)
+    n = np.cross(d, w)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-8)
+    normals = np.repeat(n[:, None, :], 4, axis=1)                # (N,4,3)
+    third = n_beams // 3 or 1
+    for mi, mat in enumerate(mats):
+        lo, hi = mi * third, (mi + 1) * third if mi < 2 else n_beams
+        if lo >= hi:
+            continue
+        scene.add_mesh(Mesh(
+            vertices=verts[lo:hi].reshape(-1, 3),
+            indices=tris[: 2 * (hi - lo)].reshape(-1, 3),
+            normals=normals[lo:hi].reshape(-1, 3),
+            material_index=mat,
+        ))
+    scene.set_environment(procedural_hdri(128))
+    cam = dict(
+        eye=(extent * 1.7, extent * 1.1, extent * 1.7),
+        target=(0.0, 0.0, 0.0),
+        fov_y_deg=45.0,
+    )
+    return scene, cam
