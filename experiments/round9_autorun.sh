@@ -27,8 +27,7 @@ run record_ab 3500 python experiments/round9_record_ab.py
 run gaps 2500 python experiments/round8_gaps.py
 # 6. gather width scaling (attr f16 decision)
 run gatherprobe 2500 python experiments/round8_gatherprobe.py
-
-echo "=== campaign complete $(date)" | tee -a /tmp/r9/autorun.log
-
 # 7. SBVH on the beams scene (tree quality where it should pay)
 run sbvh_beams 3000 python experiments/round9_sbvh_beams.py
+
+echo "=== campaign complete $(date)" | tee -a /tmp/r9/autorun.log
