@@ -111,7 +111,13 @@ def beam_scene(target_tris: int = 400_000, extent: float = 5.0,
     n_beams = max(target_tris // 2, 1)
     rng = np.random.default_rng(seed)
     a = rng.uniform(-extent, extent, (n_beams, 3)).astype(np.float32)
-    b = rng.uniform(-extent, extent, (n_beams, 3)).astype(np.float32)
+    # Beam length ~ U(0.5, extent): long enough that object splits
+    # produce overlapping nodes, short enough to stay architectural
+    # (full-diagonal beams degenerate BOTH tree types equally).
+    dirn = rng.normal(size=(n_beams, 3)).astype(np.float32)
+    dirn /= np.maximum(np.linalg.norm(dirn, axis=1, keepdims=True), 1e-8)
+    length = rng.uniform(0.5, extent, (n_beams, 1)).astype(np.float32)
+    b = a + dirn * length
     d = b - a
     up = rng.normal(size=(n_beams, 3)).astype(np.float32)
     w = np.cross(d, up)
