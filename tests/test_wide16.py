@@ -316,3 +316,45 @@ def test_wide16_prestep_instanced_film():
     for key in ((True, False), (True, True)):
         assert abs(films[key].mean() - base.mean()) / max(base.mean(), 1e-6) \
             < 0.03, (key, films[key].mean(), base.mean())
+
+
+def _beam_tris(n_beams, seed=11, extent=4.0):
+    """Long thin quads (the SBVH ref-splitting stressor) as (2N,3,3)."""
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(-extent, extent, (n_beams, 3)).astype(np.float32)
+    d = rng.normal(size=(n_beams, 3)).astype(np.float32)
+    d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-8)
+    b = a + d * rng.uniform(0.5, extent, (n_beams, 1)).astype(np.float32)
+    w = np.cross(b - a, rng.normal(size=(n_beams, 3)).astype(np.float32))
+    w /= np.maximum(np.linalg.norm(w, axis=1, keepdims=True), 1e-8)
+    w *= rng.uniform(0.004, 0.02, (n_beams, 1)).astype(np.float32)
+    tris = np.concatenate([
+        np.stack([a - w, a + w, b + w], axis=1),
+        np.stack([a - w, b + w, b - w], axis=1),
+    ], axis=0)
+    return np.ascontiguousarray(tris, np.float32)
+
+
+@pytest.mark.parametrize("quality", [0, 1])
+def test_wide16_beams_matches_bruteforce(quality):
+    """Long thin overlapping quads: SBVH duplicates references heavily
+    here (the beams benchmark scene's geometry class); traversal must
+    still agree with the oracle in original-triangle-id space."""
+    tris = _beam_tris(400, seed=19)
+    scene = FakeScene(tris, quality=quality)
+    o, d = random_rays(512, seed=23, tris=tris)
+    t16, _b16, slot16, _ = tw16.closest_hit(scene, o, d)
+    tb, _bb, slotb, _ = closest_hit_bruteforce(scene, o, d)
+    hit16 = np.asarray(slot16) >= 0
+    hitb = np.asarray(slotb) >= 0
+    id16 = scene.order[np.maximum(np.asarray(slot16), 0)]
+    idb = scene.order[np.maximum(np.asarray(slotb), 0)]
+    same = (hit16 == hitb) & (~hitb | (id16 == idb))
+    # Thin grazing quads + f16 leaf quantization: slightly looser bar
+    # than the fat-triangle fixtures, same methodology.
+    assert same.mean() >= 0.99, f"only {same.mean():.4f} agree"
+    both = hit16 & hitb & same
+    assert both.any()
+    rel = np.abs(np.asarray(t16)[both] - np.asarray(tb)[both]) / np.maximum(
+        np.asarray(tb)[both], 1e-3)
+    assert np.quantile(rel, 0.99) < 5e-3
