@@ -160,9 +160,14 @@ class FusedState(NamedTuple):
     # Record film (config.use_record_film): pass-lifetime death-record
     # buffer (budget + pool rows) + append cursor.  Valid rows carry
     # (pixel, rgb); never-written / garbage-tail rows carry key >= npix
-    # and sort to the back of the end-of-pass resolve.
+    # and sort to the back of the end-of-pass resolve.  The rgb channels
+    # are stored as three 1-D arrays: a (C, 3) buffer at C ~ 67M would be
+    # lane-padded 3 -> 128 by the TPU tiled layout (34 GB instead of
+    # 0.8 GB — measured OOM on hardware).
     rec_keys: jnp.ndarray = jnp.zeros(1, jnp.int32)    # (C,)
-    rec_vals: jnp.ndarray = jnp.zeros((1, 3))          # (C,3)
+    rec_v0: jnp.ndarray = jnp.zeros(1)                 # (C,)
+    rec_v1: jnp.ndarray = jnp.zeros(1)                 # (C,)
+    rec_v2: jnp.ndarray = jnp.zeros(1)                 # (C,)
     rec_cursor: jnp.ndarray = jnp.zeros((), jnp.int32)  # () rows appended
 
 
@@ -646,17 +651,19 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         if config.film_sort_perm:
             ks, perm = jax.lax.sort(
                 (key, jnp.arange(b, dtype=jnp.int32)), num_keys=1)
-            pre = rad_out[perm[:k_slots]]
+            p = perm[:k_slots]
+            r0, r1, r2 = (rad_out[:, 0][p], rad_out[:, 1][p],
+                          rad_out[:, 2][p])
         else:
             ks, r0, r1, r2 = jax.lax.sort(
                 (key, rad_out[:, 0], rad_out[:, 1], rad_out[:, 2]),
                 num_keys=1)
-            pre = jnp.stack([r0[:k_slots], r1[:k_slots], r2[:k_slots]],
-                            axis=1)
+            r0, r1, r2 = r0[:k_slots], r1[:k_slots], r2[:k_slots]
         rec_keys = jax.lax.dynamic_update_slice(
             s.rec_keys, ks[:k_slots], (s.rec_cursor,))
-        rec_vals = jax.lax.dynamic_update_slice(
-            s.rec_vals, pre, (s.rec_cursor, jnp.int32(0)))
+        rec_v0 = jax.lax.dynamic_update_slice(s.rec_v0, r0, (s.rec_cursor,))
+        rec_v1 = jax.lax.dynamic_update_slice(s.rec_v1, r1, (s.rec_cursor,))
+        rec_v2 = jax.lax.dynamic_update_slice(s.rec_v2, r2, (s.rec_cursor,))
         rec_cursor = s.rec_cursor + jnp.sum(accepted.astype(jnp.int32))
         rec_pending = emit & ~accepted
         film = s.film  # (1,3) dummy; the film materializes at resolve
@@ -771,7 +778,8 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         rec_pending = s.rec_pending
         radiance_next = jnp.where((died | take)[:, None], 0.0, radiance)
     if not record_mode:
-        rec_keys, rec_vals, rec_cursor = s.rec_keys, s.rec_vals, s.rec_cursor
+        rec_keys, rec_cursor = s.rec_keys, s.rec_cursor
+        rec_v0, rec_v1, rec_v2 = s.rec_v0, s.rec_v1, s.rec_v2
 
     rng_new = urng.seed(pixel_new, sample_new, params.seed_root)
     coords, rng_new = ucamera.jittered_pixel_coords(pixel_new, config, rng_new)
@@ -820,7 +828,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         flush_rgb=flush_rgb,
         rec_pending=rec_pending,
         rec_keys=rec_keys,
-        rec_vals=rec_vals,
+        rec_v0=rec_v0, rec_v1=rec_v1, rec_v2=rec_v2,
         rec_cursor=rec_cursor,
     )
 
@@ -892,11 +900,11 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         # key and sort behind every valid pixel.
         rec_cap = budget + b
         rec_keys0 = jnp.full((rec_cap,), 1 << 30, jnp.int32)
-        rec_vals0 = jnp.zeros((rec_cap, 3), jnp.float32)
+        rec_ch0 = jnp.zeros((rec_cap,), jnp.float32)
         film0 = jnp.zeros((1, 3), jnp.float32)
     else:
         rec_keys0 = jnp.zeros((1,), jnp.int32)
-        rec_vals0 = jnp.zeros((1, 3), jnp.float32)
+        rec_ch0 = jnp.zeros((1,), jnp.float32)
         film0 = jnp.zeros((npix_l, 3), jnp.float32)
     init = FusedState(
         mode=jnp.full((b,), MODE_DEAD, jnp.int32),
@@ -926,7 +934,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         flush_rgb=z3,
         rec_pending=jnp.zeros((b,), bool),
         rec_keys=rec_keys0,
-        rec_vals=rec_vals0,
+        rec_v0=rec_ch0, rec_v1=rec_ch0, rec_v2=rec_ch0,
         rec_cursor=jnp.asarray(0, jnp.int32),
     )
 
@@ -1060,12 +1068,14 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
              final.radiance[:, 2]), num_keys=1)
         rec_keys = jax.lax.dynamic_update_slice(
             final.rec_keys, ks, (final.rec_cursor,))
-        rec_vals = jax.lax.dynamic_update_slice(
-            final.rec_vals, jnp.stack([r0, r1, r2], axis=1),
-            (final.rec_cursor, jnp.int32(0)))
+        rec_v0 = jax.lax.dynamic_update_slice(
+            final.rec_v0, r0, (final.rec_cursor,))
+        rec_v1 = jax.lax.dynamic_update_slice(
+            final.rec_v1, r1, (final.rec_cursor,))
+        rec_v2 = jax.lax.dynamic_update_slice(
+            final.rec_v2, r2, (final.rec_cursor,))
         _, v0, v1, v2 = jax.lax.sort(
-            (rec_keys, rec_vals[:, 0], rec_vals[:, 1], rec_vals[:, 2]),
-            num_keys=1)
+            (rec_keys, rec_v0, rec_v1, rec_v2), num_keys=1)
         film = jnp.stack(
             [v0[:budget].reshape(npix_l, spp_l_).sum(axis=1),
              v1[:budget].reshape(npix_l, spp_l_).sum(axis=1),
