@@ -124,8 +124,8 @@ def main():
     # 32 spp/pass: the longer work queue amortizes the drain tail
     # (occupancy 0.957 -> 0.978, +2% — round-3 pool/spp sweep).
     spp = int(os.environ.get("BENCH_SPP", 32))
-    # te=8 is the optimum under the sorted-prefix film (cheaper
-    # transitions move it down from 10: round8_sorted_te.py sweep).
+    # te=8 is the optimum under the record film (round9_record_ab.py:
+    # te8 19.98 s, te6 20.08, te5 20.15).
     te = int(os.environ.get("BENCH_TE", 8))
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # Record film (append + end-of-pass sort resolve) A/B toggle; the

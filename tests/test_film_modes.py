@@ -34,7 +34,7 @@ def cornell_setup():
     config = RenderConfig(width=size, height=size, samples_per_pass=4,
                           max_bounces=3, sky_mode=2, traversal="wide",
                           integrator="fused", pool_size=512,
-                          use_sorted_film=False)
+                          use_sorted_film=False, use_record_film=False)
     params = make_camera_params(width=size, height=size, **cam)
     legacy = _render(config, params, scene)
     return scene, config, params, legacy

@@ -146,11 +146,16 @@ class RenderConfig:
     use_sorted_film: bool = True
 
     # K = pool_size >> film_k_shift accepted film records per transition
-    # (sorted and record films).  Measured on the 1M-tri bench
-    # (experiments/round8_sortfilm_ab.py): shift 1 (K = B/2) wins; shift 2
-    # throttles on synchronized death bursts (occupancy 0.751), shift 3
-    # collapses (0.397).  Keep 1.
-    film_k_shift: int = 1
+    # (sorted and record films).  With the record film (the production
+    # default) shift 0 (K = B) wins: appends price by bandwidth, not
+    # slots, so zero backpressure costs nothing and the rank-gate cumsum
+    # statically disappears (hardware A/B: k0 19.98 s vs k1 20.56 s,
+    # experiments/round9_record_ab.py).  If you revert to the sorted
+    # SCATTER film, use shift 1 (K = B/2): its K-slot scatter prices per
+    # slot, shift 1 wins there, shift 2 throttles on synchronized death
+    # bursts (occupancy 0.751) and shift 3 collapses (0.397)
+    # (experiments/round8_sortfilm_ab.py).
+    film_k_shift: int = 0
 
     # Sorted/record films: sort (key, lane-index) and GATHER the K-prefix
     # radiance rows through the permutation instead of sorting the three
@@ -171,8 +176,13 @@ class RenderConfig:
     # pixel into a dense (npix, spp, 3) block that a plain reshape-sum
     # resolves — no scatter there either.  Takes precedence over
     # use_sorted_film.  Film association differs from the legacy scatter
-    # by sum order only (<= 1 ulp); per-sample radiance is bit-identical.
-    use_record_film: bool = False
+    # by sum order only (resolve sums each pixel's spp records in sorted
+    # order); per-sample radiance is bit-identical.  Default ON: 25.29 ->
+    # 19.98 s/pass (+27%, occupancy 0.941 -> 0.974) over the sorted-prefix
+    # film on the 1M-tri hardware bench at te=8, film_k_shift=0
+    # (experiments/round9_record_ab.py).  Costs ~1.1 GB HBM for the
+    # record buffer at 1080p x 32 spp.
+    use_record_film: bool = True
 
     # Gather-free first-arrival prestep for fresh ray segments (wide16):
     # the root level (and, for non-instanced scenes, the second level) is
