@@ -190,6 +190,27 @@ class RenderConfig:
     # HBM row gathers (ops.traverse_wide16.prestep16).
     use_prestep: bool = True
 
+    # Transition attribute fetch layout: False = gather the packed
+    # (ceil(T/3), 48) attr_shade row and select this tri's 16 floats;
+    # True = reshape the same table to (3*ceil(T/3), 16) and gather the
+    # triangle's row directly (no select, 1/3 the gathered bytes).  The
+    # round-10 trace prices the packed gather at 3.0 ms/super-iteration
+    # (11.5 ns/row, random indices) — the single biggest kernel.
+    # Hardware A/B (experiments/round10_attr_ab.py): alone it LOSES 6%
+    # (21.22 vs 19.94 s/pass — the narrow gather de-optimizes), but ON
+    # TOP of pallas_transpose_in_kernel it wins (16.14 -> 15.92 s);
+    # production runs both.  Films bit-identical either way.
+    attr_direct: bool = True
+
+    # Pallas arrival: take the gathered node rows as (B, 96) and
+    # transpose inside the Mosaic kernel instead of paying XLA's
+    # gather+layout-copy (the copy is 0.35 ms/arrival in the round-10
+    # trace).  Round 6 measured this SLOWER (11.7 vs 8.0 s/pass) when the
+    # kernel was 2x its current cost; after the canonical-f16 decode cut
+    # the balance inverted: hardware A/B round 10 measured 19.94 -> 16.14
+    # s/pass (+24%, experiments/round10_attr_ab.py).  Films bit-exact.
+    pallas_transpose_in_kernel: bool = True
+
     # Prestep depth: 2 = root + child-slot select chain; 3 adds a THIRD
     # gather-free level via a bit-exact 3-limb bf16 one-hot MXU matmul over
     # the 256 grandchild slots (accel.wide16.derive_top3_limbs) — the

@@ -333,12 +333,18 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     sel_inst = jnp.where(a, s.trav.hit_inst, s.hit_inst)
 
     attr = jnp.maximum(sel_tri, 0)
-    row3 = scene.attr_shade[attr // 3]          # one gather: 3 tris per row
-    sub = attr % 3                              # select this tri's 16 floats
-    shade_row = jnp.where(
-        (sub == 0)[:, None], row3[:, 0:16],
-        jnp.where((sub == 1)[:, None], row3[:, 16:32], row3[:, 32:48]),
-    )
+    if getattr(config, "attr_direct", False):
+        # Direct per-tri row: same bytes, no packed-row select.  The
+        # reshape is loop-invariant (hoisted); rows are bit-identical to
+        # the packed layout's selected halves.
+        shade_row = scene.attr_shade.reshape(-1, 16)[attr]
+    else:
+        row3 = scene.attr_shade[attr // 3]      # one gather: 3 tris per row
+        sub = attr % 3                          # select this tri's 16 floats
+        shade_row = jnp.where(
+            (sub == 0)[:, None], row3[:, 0:16],
+            jnp.where((sub == 1)[:, None], row3[:, 16:32], row3[:, 32:48]),
+        )
     normal = normalize(_interp(sel_bary, shade_row[:, 0:9], 3))
     uv = _interp(sel_bary, shade_row[:, 9:15], 2)
     mat_idx = jax.lax.bitcast_convert_type(shade_row[:, 15], jnp.int32)
@@ -967,11 +973,13 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         trav = s.trav
         if use_pallas:
             oT, dT, invT = s.trav_o.T, s.trav_d.T, inv.T
+            tik = getattr(config, "pallas_transpose_in_kernel", False)
             for _ in range(te):
                 active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
                 trav = _pa.arrival_step16_pallas(nodes16, oT, dT, invT,
                                                  trav, active,
                                                  interpret=_interp,
+                                                 transpose_in_kernel=tik,
                                                  has_instances=inst_w2l is not None)
             stepping = (s.mode != MODE_DEAD) & (s.trav.ptr >= 0)
             trav_done = trav.ptr < 0
