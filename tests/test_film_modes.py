@@ -125,3 +125,17 @@ def test_sorted_film_deterministic(cornell_setup):
     cfg = dataclasses.replace(config, use_sorted_film=True, film_k_shift=2)
     np.testing.assert_array_equal(_render(cfg, params, scene),
                                   _render(cfg, params, scene))
+
+
+def test_attr_compact_modes(cornell_setup):
+    # Compact f16 attribute rows (production default mode 2): modes 1 and
+    # 2 read the same packed halfwords through different gather shapes,
+    # so they are BIT-identical; vs the f32 rows the only delta is f16
+    # rounding of normals/uvs (~1e-3 on unit normals -> ~1e-4 radiance
+    # on this scene).
+    scene, config, params, _ = cornell_setup
+    f32 = _render(dataclasses.replace(config, attr_compact=0), params, scene)
+    c1 = _render(dataclasses.replace(config, attr_compact=1), params, scene)
+    c2 = _render(dataclasses.replace(config, attr_compact=2), params, scene)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(c2, f32, atol=2e-3, rtol=2e-3)

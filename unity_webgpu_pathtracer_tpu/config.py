@@ -202,6 +202,23 @@ class RenderConfig:
     # production runs both.  Films bit-identical either way.
     attr_direct: bool = True
 
+    # Compact transition attribute rows: gather the 32-byte f16 table
+    # (scene.attr_shade_c) instead of the 64-byte f32 rows and decode
+    # in-register.  At 1M-tri scale the random attr gather prices by
+    # TABLE FOOTPRINT (64 MB -> ~24 ns/row, 32 MB -> ~16-18 ns/row;
+    # experiments/round11_attrsort.py), so halving the row is worth ~25%
+    # of attr-gather time.  Precision: f16 normals (~1e-3 on unit
+    # vectors) and uvs (~5e-4, <=1 texel at 2k).  Modes: 0/False = off,
+    # 1/True = one tri per 32-byte row, 2 = two tris per 64-byte row
+    # (same footprint, known-good gathered row width, one extra select).
+    # Hardware A/B (experiments/round11_attrcompact_ab.py): mode 1 LOSES
+    # 7% (15.89 -> 16.79 s/pass) — the narrow row prices worse per row
+    # than the footprint saves — but mode 2 WINS 9% (15.89 -> 14.55,
+    # 11.10 -> 12.13 Mrays/s): known-good row width at half footprint.
+    # Default mode 2; per-pixel film delta vs f32 attrs is ~2e-5 rel on
+    # small scenes, within MC noise at production spp.
+    attr_compact: int = 2
+
     # Pallas arrival: take the gathered node rows as (B, 96) and
     # transpose inside the Mosaic kernel instead of paying XLA's
     # gather+layout-copy (the copy is 0.35 ms/arrival in the round-10

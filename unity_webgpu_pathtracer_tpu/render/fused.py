@@ -333,7 +333,26 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     sel_inst = jnp.where(a, s.trav.hit_inst, s.hit_inst)
 
     attr = jnp.maximum(sel_tri, 0)
-    if getattr(config, "attr_direct", False):
+    if getattr(config, "attr_compact", False):
+        # Compact 32-byte rows: 15 f16 halfwords + u16 material packed in
+        # 8 u32 words (scene._pack_attr_shade_c).  Half the table
+        # footprint of the f32 rows, which is what random-gather pricing
+        # keys on at 1M-tri scale (experiments/round11_attrsort.py).
+        if int(config.attr_compact) == 2:
+            # Two triangles per 64-byte row: the gather rides the row
+            # width the unit already prices well while keeping the 32 MB
+            # footprint; one select picks this tri's 8 words.
+            pair = scene.attr_shade_c.reshape(-1, 16)[attr // 2]
+            rowc = jnp.where((attr % 2 == 0)[:, None],
+                             pair[:, 0:8], pair[:, 8:16])
+        else:
+            rowc = scene.attr_shade_c[attr]                 # (B, 8) u32
+        lo = (rowc & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        hi = (rowc >> jnp.uint32(16)).astype(jnp.uint16)
+        half = jnp.stack([lo, hi], axis=-1).reshape(b, 16)  # halfword order
+        shade_row = jax.lax.bitcast_convert_type(
+            half[:, 0:15], jnp.float16).astype(jnp.float32)   # (B, 15)
+    elif getattr(config, "attr_direct", False):
         # Direct per-tri row: same bytes, no packed-row select.  The
         # reshape is loop-invariant (hoisted); rows are bit-identical to
         # the packed layout's selected halves.
@@ -347,7 +366,10 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         )
     normal = normalize(_interp(sel_bary, shade_row[:, 0:9], 3))
     uv = _interp(sel_bary, shade_row[:, 9:15], 2)
-    mat_idx = jax.lax.bitcast_convert_type(shade_row[:, 15], jnp.int32)
+    if getattr(config, "attr_compact", False):
+        mat_idx = half[:, 15].astype(jnp.int32)
+    else:
+        mat_idx = jax.lax.bitcast_convert_type(shade_row[:, 15], jnp.int32)
     if config.has_normal_maps:
         # Dedicated tangent gather — only compiled in when the scene
         # carries normal maps (static flag).

@@ -45,6 +45,29 @@ def _pack_attr_shade(normals9: np.ndarray, uvs6: np.ndarray,
     return out.reshape(rows, 48)
 
 
+def _pack_attr_shade_c(normals9: np.ndarray, uvs6: np.ndarray,
+                       material: np.ndarray) -> np.ndarray:
+    """Compact 32-byte per-triangle shading rows: 15 f16 halfwords
+    [normals 9 | uvs 6] + one u16 material index, little-endian-packed
+    into 8 uint32 words.  At 1M-tri scale the random attr gather prices
+    by TABLE BYTES (64 MB -> 24 ns/row, 32 MB -> 16-18;
+    experiments/round11_attrsort.py), so halving the row halves the
+    footprint; precision cost is ~1e-3 on unit normals and ~5e-4 on uvs
+    (≤1 texel at 2k).  Consumed by the fused integrator when
+    ``config.attr_compact`` is set."""
+    t = normals9.shape[0]
+    # Pad to a multiple of 6 triangles so the table also reshapes to
+    # (-1, 16) u32 = two triangles per 64-byte row (attr_compact mode 2).
+    h = np.zeros((((t + 5) // 6) * 6, 16), np.uint16)
+    h[:t, 0:9] = normals9.astype(np.float16).view(np.uint16)
+    h[:t, 9:15] = np.clip(uvs6, -65504, 65504).astype(np.float16).view(np.uint16)
+    m = material.astype(np.int64)
+    if m.size and (m.max() > 0xFFFF or m.min() < 0):
+        raise ValueError("attr_compact supports at most 65536 materials")
+    h[:t, 15] = m.astype(np.uint16)
+    return np.ascontiguousarray(h).view(np.uint32)   # (rows*3, 8)
+
+
 class SceneData(NamedTuple):
     """Device-resident flat scene arrays (all shapes static).
 
@@ -72,6 +95,14 @@ class SceneData(NamedTuple):
     # grouping rides the gather unit's wide-row sweet spot (~18 vs ~38
     # ns/row for 64-byte rows, experiments/round3_gather.py).
     attr_shade: jnp.ndarray = _z(1, 48)       # (ceil(T/3), 48) float32
+
+    # Compact half of the same table: 32-byte rows (15 f16 + u16 material
+    # packed into 8 u32 words, one triangle per row).  At 1M-tri scale the
+    # random gather prices by table footprint (64 MB -> ~24 ns/row, 32 MB
+    # -> ~16-18; experiments/round11_attrsort.py), so the integrator reads
+    # this when ``config.attr_compact`` is set.
+    # (placeholder is (2, 8) so the mode-2 (-1, 16) reshape stays valid)
+    attr_shade_c: jnp.ndarray = _z(2, 8, dtype=jnp.uint32)  # (6*ceil(T/6), 8)
 
     # 8-wide MBVH (SoA): bounds laid out [lox·8, loy·8, loz·8, hix·8, hiy·8, hiz·8].
     bvh_bounds: jnp.ndarray = _z(1, 48)       # (N, 48) float32
@@ -335,6 +366,8 @@ class Scene:
             attr_material=jnp.asarray(flat.material),
             attr_shade=jnp.asarray(_pack_attr_shade(
                 flat.normals.reshape(m, 9), flat.uvs.reshape(m, 6), flat.material)),
+            attr_shade_c=jnp.asarray(_pack_attr_shade_c(
+                flat.normals.reshape(m, 9), flat.uvs.reshape(m, 6), flat.material)),
             materials=jnp.asarray(materials),
             texture_data=jnp.asarray(atlas),
             lights=jnp.asarray(light_table),
@@ -427,6 +460,9 @@ class Scene:
             attr_shade=jnp.asarray(_pack_attr_shade(
                 flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
                 flat_all.material)),
+            attr_shade_c=jnp.asarray(_pack_attr_shade_c(
+                flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
+                flat_all.material)),
             materials=jnp.asarray(materials),
             texture_data=jnp.asarray(atlas),
             lights=jnp.asarray(light_table),
@@ -515,6 +551,9 @@ class Scene:
             attr_uvs=jnp.asarray(flat_all.uvs.reshape(m, 6)),
             attr_material=jnp.asarray(flat_all.material),
             attr_shade=jnp.asarray(_pack_attr_shade(
+                flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
+                flat_all.material)),
+            attr_shade_c=jnp.asarray(_pack_attr_shade_c(
                 flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
                 flat_all.material)),
             materials=jnp.asarray(materials),
