@@ -65,17 +65,17 @@ def _f16_bits_to_f32(bits):
     Fast path by BUILDER CONTRACT: every f16 in a node table is either +0
     or a normal finite value — the emitters (native ``f2h``,
     ``accel/wide16._canon_f16``) flush subnormals/-0 to +0 and clamp
-    overflow to +-65504 at build time.  That reduces the decode to 9
-    integer ops/halfword (the old subnormal + inf branches were ~18,
-    ~45% of the whole arrival kernel's VPU work): magnitude-align,
-    exponent rebias (+112), sign insert, and one select that maps e==0
-    back to +0 (the rebias alone would turn +0 into 2^-15).  Bit-exact
-    vs the jnp path's hardware f16 conversion on contract tables.
+    overflow to +-65504 at build time.  That reduces the decode to 7
+    integer/fp ops/halfword via the multiply-rebias trick: align the f16
+    magnitude+sign into f32 bit positions (exponent off by 2^-112) and
+    multiply by 2^112 — a power-of-two scale, exact for every contract
+    value, and +0 rides through as 0.0 x 2^112 = +0 with no select (the
+    old additive rebias needed a compare+select to keep +0 from becoming
+    2^-15).  Bit-exact vs the jnp path's hardware f16 conversion on
+    contract tables.
     """
-    mag = (bits & 0x7FFF) << 13
-    vb = (mag + (112 << 23)) | ((bits & 0x8000) << 16)
-    val = jax.lax.bitcast_convert_type(vb, jnp.float32)
-    return jnp.where(mag < (1 << 23), jnp.float32(0.0), val)
+    vb = ((bits & 0x7FFF) << 13) | ((bits & 0x8000) << 16)
+    return jax.lax.bitcast_convert_type(vb, jnp.float32) * jnp.float32(2.0 ** 112)
 
 
 def _arrival_kernel(transpose_in_kernel, has_inst, *refs):

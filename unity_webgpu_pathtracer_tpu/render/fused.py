@@ -341,7 +341,11 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         if int(config.attr_compact) == 2:
             # Two triangles per 64-byte row: the gather rides the row
             # width the unit already prices well while keeping the 32 MB
-            # footprint; one select picks this tri's 8 words.
+            # footprint; one select picks this tri's 8 words.  The
+            # reshape here LOOKS like waste in xprof (a 0.37 ms/super
+            # table copy into memory space S(1)) but is load-bearing:
+            # storing the table pre-paired measured 32% slower end to
+            # end — XLA uses the copy to stage a gather-friendly layout.
             pair = scene.attr_shade_c.reshape(-1, 16)[attr // 2]
             rowc = jnp.where((attr % 2 == 0)[:, None],
                              pair[:, 0:8], pair[:, 8:16])

@@ -54,10 +54,17 @@ def _pack_attr_shade_c(normals9: np.ndarray, uvs6: np.ndarray,
     experiments/round11_attrsort.py), so halving the row halves the
     footprint; precision cost is ~1e-3 on unit normals and ~5e-4 on uvs
     (≤1 texel at 2k).  Consumed by the fused integrator when
-    ``config.attr_compact`` is set."""
+    ``config.attr_compact`` is set.
+
+    Stored (T_pad, 8); the production mode-2 path reshapes to (T_pad/2,
+    16) INSIDE the render loop.  That reshape shows up in xprof as a
+    0.37 ms/super table copy (``copy.126``, layout {0,1} into memory
+    space S(1)) — but it is LOAD-BEARING: XLA is staging the table into
+    an alternate-memory, gather-friendly layout each super-iteration,
+    and pre-pairing the stored table to skip it measured 32% SLOWER
+    end-to-end (14.4 -> 19.0 s/pass).  Do not "optimize" it away."""
     t = normals9.shape[0]
-    # Pad to a multiple of 6 triangles so the table also reshapes to
-    # (-1, 16) u32 = two triangles per 64-byte row (attr_compact mode 2).
+    # Pad to a multiple of 6 triangles so rows pair cleanly.
     h = np.zeros((((t + 5) // 6) * 6, 16), np.uint16)
     h[:t, 0:9] = normals9.astype(np.float16).view(np.uint16)
     h[:t, 9:15] = np.clip(uvs6, -65504, 65504).astype(np.float16).view(np.uint16)
@@ -65,7 +72,7 @@ def _pack_attr_shade_c(normals9: np.ndarray, uvs6: np.ndarray,
     if m.size and (m.max() > 0xFFFF or m.min() < 0):
         raise ValueError("attr_compact supports at most 65536 materials")
     h[:t, 15] = m.astype(np.uint16)
-    return np.ascontiguousarray(h).view(np.uint32)   # (rows*3, 8)
+    return np.ascontiguousarray(h).view(np.uint32)   # (T_pad, 8)
 
 
 class SceneData(NamedTuple):
@@ -100,7 +107,9 @@ class SceneData(NamedTuple):
     # packed into 8 u32 words, one triangle per row).  At 1M-tri scale the
     # random gather prices by table footprint (64 MB -> ~24 ns/row, 32 MB
     # -> ~16-18; experiments/round11_attrsort.py), so the integrator reads
-    # this when ``config.attr_compact`` is set.
+    # this when ``config.attr_compact`` is set.  The production mode-2
+    # consumer reshapes to (-1, 16) in-loop — a measured WIN, see
+    # ``_pack_attr_shade_c``.
     # (placeholder is (2, 8) so the mode-2 (-1, 16) reshape stays valid)
     attr_shade_c: jnp.ndarray = _z(2, 8, dtype=jnp.uint32)  # (6*ceil(T/6), 8)
 
