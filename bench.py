@@ -8,7 +8,7 @@ reference publishes no numbers).
 
 Flags (env vars):
   BENCH_SMALL=1   quick mode (64K tris, 512x512) for smoke testing
-  BENCH_POOL=N    wavefront pool size (default 1<<17)
+  BENCH_POOL=N    wavefront pool size (default 3<<15 = 96k)
   BENCH_CORNELL=1 report BASELINE.md's third metric instead:
                   time-to-1024spp on the 256x256 Cornell box
 """
@@ -119,13 +119,15 @@ def main():
         return bench_cornell(watchdog)
 
     small = os.environ.get("BENCH_SMALL") == "1"
-    pool = int(os.environ.get("BENCH_POOL", 1 << 18))
+    # 96k pool: round-12 sweep optimum (13.27 s/pass vs 14.57 at 256k;
+    # occupancy 0.993). 32k flips negative on per-wave fixed costs.
+    pool = int(os.environ.get("BENCH_POOL", 3 << 15))
     trav = os.environ.get("BENCH_TRAV", "wide16")
     # 32 spp/pass: the longer work queue amortizes the drain tail
     # (occupancy 0.957 -> 0.978, +2% — round-3 pool/spp sweep).
     spp = int(os.environ.get("BENCH_SPP", 32))
-    # te=8 is the optimum under the record film (round9_record_ab.py:
-    # te8 19.98 s, te6 20.08, te5 20.15).
+    # te=8 re-confirmed optimal at the 96k pool (round-12: te8 13.27 s,
+    # te10 13.52-13.72, te6 13.83).
     te = int(os.environ.get("BENCH_TE", 8))
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # Record film (append + end-of-pass sort resolve) A/B toggle; the

@@ -101,7 +101,8 @@ class RenderConfig:
     # or "wavefront" (ray pool + regeneration; the TPU-native design).
     integrator: str = "megakernel"
 
-    # Wavefront pool size (rays resident per step); 0 = auto (width*height).
+    # Wavefront pool size (rays resident per step); 0 = auto
+    # (min(width*height*spp, 96k) — the round-12 sweep optimum).
     pool_size: int = 0
 
     # Fused integrator: arrivals per transition step (occupancy/cost knob —

@@ -883,7 +883,11 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         pixel_base, npix_l, sample_base, spp_l = shard
         shard_t = (pixel_base, npix_l, sample_base)
     budget = npix_l * spp_l
-    b = pool_size or config.pool_size or min(budget, 1 << 19)
+    # Auto pool: 96k measured optimal on the bench scene (round-12 sweep:
+    # 96k 13.27 s/pass vs 256k 14.57 vs 512k 15.10 — smaller pools raise
+    # occupancy 0.976 -> 0.993 now that per-wave kernels are cheap; 32k
+    # flips negative on per-wave fixed costs).
+    b = pool_size or config.pool_size or min(budget, 3 << 15)
     use_v2 = config.traversal == "wide2"
     use_v8 = config.traversal == "wide8"
     use_v16 = config.traversal == "wide16"
