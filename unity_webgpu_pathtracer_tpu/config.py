@@ -229,6 +229,15 @@ class RenderConfig:
     # s/pass (+24%, experiments/round10_attr_ab.py).  Films bit-exact.
     pallas_transpose_in_kernel: bool = True
 
+    # Thread the (M, 16) paired attr table through the while-loop carry
+    # instead of closing over the jit parameter.  Hypothesis: the round-13
+    # trace shows XLA re-staging the 35 MB table into the gather-friendly
+    # {0,1:T(8,128)} layout EVERY super-iteration (copy.126, 0.37 ms/super
+    # = 7% of the pass) because the closed-over param's ABI layout is
+    # fixed; an explicit carry lets the layout conversion happen once at
+    # loop entry.  Measured by experiments/round13_attrcarry_ab.py.
+    attr_carry: bool = False
+
     # Prestep depth: 2 = root + child-slot select chain; 3 adds a THIRD
     # gather-free level via a bit-exact 3-limb bf16 one-hot MXU matmul over
     # the 256 grandchild slots (accel.wide16.derive_top3_limbs) — the

@@ -263,7 +263,7 @@ def _analytic_light_hit(scene, o, d, t):
 
 def _transition(scene, config: RenderConfig, params: RenderParams,
                 s: FusedState, budget: int, current_sample, trav_done,
-                entry=None, shard=None):
+                entry=None, shard=None, attr_pair=None):
     b = s.mode.shape[0]
     env_nee = config.sky_mode == SKY_MODE_ENVIRONMENT
     light_nee = config.has_lights and scene.lights.shape[0] > 0
@@ -346,7 +346,12 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
             # table copy into memory space S(1)) but is load-bearing:
             # storing the table pre-paired measured 32% slower end to
             # end — XLA uses the copy to stage a gather-friendly layout.
-            pair = scene.attr_shade_c.reshape(-1, 16)[attr // 2]
+            # attr_pair (config.attr_carry): the same table threaded
+            # through the while carry so the layout staging happens once
+            # at loop entry instead of per super-iteration.
+            table = (attr_pair if attr_pair is not None
+                     else scene.attr_shade_c.reshape(-1, 16))
+            pair = table[attr // 2]
             rowc = jnp.where((attr % 2 == 0)[:, None],
                              pair[:, 0:8], pair[:, 8:16])
         else:
@@ -997,7 +1002,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         # would not compile there).
         _interp = jax.default_backend() != "tpu"
 
-    def body(s: FusedState):
+    def body(s: FusedState, attr_pair=None):
         inv = safe_rcp(s.trav_d)
         shadowing = (s.mode == MODE_SHADOW_ENV) | (s.mode == MODE_SHADOW_LIGHT)
         trav = s.trav
@@ -1059,7 +1064,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             ticks=s.ticks + b,
         )
         s = _transition(scene, config, params, s, budget, current_sample,
-                        trav_done, entry, shard_t)
+                        trav_done, entry, shard_t, attr_pair=attr_pair)
         if use_v16 and config.use_prestep:
             # Fresh segments (regen/bounce/NEE shadow) all sit at the root;
             # descend their first level(s) gather-free (prestep16).
@@ -1080,8 +1085,8 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         # measured) — on this platform the only cheap structure is a flat
         # body.  The scatter itself is made cheap by DISTINCT out-of-bounds
         # sentinels instead (see the flush_pix init).
-        def body_flush(s):
-            s = body(s)
+        def body_flush(s, attr_pair=None):
+            s = body(s, attr_pair=attr_pair)
             film = s.film.at[s.flush_pix].add(s.flush_rgb)
             return s._replace(
                 film=film,
@@ -1089,9 +1094,20 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
                 flush_rgb=jnp.zeros_like(s.flush_rgb),
             )
 
-        final = jax.lax.while_loop(cond, body_flush, init)
+    inner_body = body_flush if lane_film else body
+    attr_carry = (getattr(config, "attr_carry", False)
+                  and int(getattr(config, "attr_compact", 0) or 0) == 2)
+    if attr_carry:
+        # Explicit carry: lets XLA stage the gather-friendly table layout
+        # once at loop entry instead of per super-iteration (copy.126 in
+        # the round-13 trace, 0.37 ms/super).
+        pair0 = scene.attr_shade_c.reshape(-1, 16)
+        final, _ = jax.lax.while_loop(
+            lambda c: cond(c[0]),
+            lambda c: (inner_body(c[0], attr_pair=c[1]), c[1]),
+            (init, pair0))
     else:
-        final = jax.lax.while_loop(cond, body, init)
+        final = jax.lax.while_loop(cond, inner_body, init)
     if record_film:
         # Straggler append (lanes whose last record was rank-rejected on
         # the final transition), then the resolve: ONE global sort groups
