@@ -154,15 +154,30 @@ def main():
         use_pallas_arrival=pallas, **film_kw,
     )
     scene_data = scene.build(config.traversal, octants=config.bvh_octants)
-    ntris = int(scene_data.tris.shape[0])
+    build_s = time.time() - t0
+    # Honest triangle accounting (cross-round comparability): `tris_unique`
+    # is the flattened input triangle count (one attr row each); `refs` is
+    # the post-SBVH reference count (spatial splits duplicate references,
+    # 987,842 -> ~1.09M on this scene — the r1/r2 vs r3 drift).  Mrays/s is
+    # rays retired, independent of either, but both are recorded so scene
+    # drift across rounds is visible.
+    tris_unique = int(scene_data.attr_material.shape[0])
+    refs = int(scene_data.tris.shape[0])
+    import hashlib
+
+    scene_hash = hashlib.sha1(
+        np.asarray(scene_data.attr_uvs[:1024]).tobytes()
+        + np.asarray(scene_data.attr_normals[:1024]).tobytes()
+        + str(tris_unique).encode()
+    ).hexdigest()[:12]
     nodes = {
         "wide8": scene_data.wide8_nodes,
         "wide16": scene_data.wide16_nodes,
     }.get(trav, scene_data.wide_nodes)
     rows = int(nodes.shape[-2])
     mb = nodes.nbytes / 1e6
-    log(f"scene: {ntris:,} tris, {rows:,} {trav} rows ({mb:.0f} MB), "
-        f"build {time.time()-t0:.1f}s")
+    log(f"scene: {tris_unique:,} unique tris ({refs:,} refs), {rows:,} "
+        f"{trav} rows ({mb:.0f} MB), build {build_s:.1f}s, hash {scene_hash}")
 
     params = make_camera_params(width=width, height=height, **cam,
                                 environment_intensity=np.float32(1.0))
@@ -173,7 +188,8 @@ def main():
     t0 = time.time()
     film, occ, rays, arrivals = step(scene_data, config, params, 0, pool_size=pool)
     _ = np.asarray(film[:8])
-    log(f"compile+first pass: {time.time()-t0:.1f}s")
+    compile_s = time.time() - t0
+    log(f"compile+first pass: {compile_s:.1f}s")
 
     # Timed passes.
     n_passes = int(os.environ.get("BENCH_PASSES", 1))
@@ -197,6 +213,16 @@ def main():
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 200.0, 4),
+        # Provenance / budget fields (VERDICT r3 items 5+7): triangle
+        # accounting so cross-round numbers stay apples-to-apples, plus
+        # the tracked compile and scene-build walls.
+        "tris_unique": tris_unique,
+        "refs": refs,
+        "scene_hash": scene_hash,
+        "compile_s": round(compile_s, 1),
+        "scene_build_s": round(build_s, 1),
+        "occupancy": round(float(occ), 4),
+        "spp_per_s": round(spp_sec, 4),
     }))
 
 

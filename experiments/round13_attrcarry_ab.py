@@ -74,12 +74,18 @@ def main():
               f"rays {rays}  arr/ray {arr / max(rays, 1):.2f}  "
               f"({rays / dt / 1e6:.2f} Mrays/s)  film {fsum:.6g}", flush=True)
     ref = films["base     te8"]
+    diverged = []
     for name, f in films.items():
         if name in ("base     te8", "warmup(base)"):
             continue
         d = np.abs(f - ref).max()
-        print(f"parity {name}: max|d|={d:.3g} "
-              f"exact={bool((f == ref).all())}")
+        exact = bool((f == ref).all())
+        print(f"parity {name}: max|d|={d:.3g} exact={exact}")
+        if not exact:
+            diverged.append(name)
+    # Films must be bit-identical (same gathers, different staging only);
+    # fail loudly so a non-interactive run catches numerics regressions.
+    assert not diverged, f"attr_carry films diverged: {diverged}"
 
 
 if __name__ == "__main__":

@@ -236,6 +236,8 @@ class RenderConfig:
     # = 7% of the pass) because the closed-over param's ABI layout is
     # fixed; an explicit carry lets the layout conversion happen once at
     # loop entry.  Measured by experiments/round13_attrcarry_ab.py.
+    # ONLY applies with ``attr_compact == 2`` (the paired-row layout);
+    # under other attr layouts the flag is silently a no-op.
     attr_carry: bool = False
 
     # Prestep depth: 2 = root + child-slot select chain; 3 adds a THIRD

@@ -1094,7 +1094,9 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
                 flush_rgb=jnp.zeros_like(s.flush_rgb),
             )
 
-    inner_body = body_flush if lane_film else body
+        inner_body = body_flush
+    else:
+        inner_body = body
     attr_carry = (getattr(config, "attr_carry", False)
                   and int(getattr(config, "attr_compact", 0) or 0) == 2)
     if attr_carry:
