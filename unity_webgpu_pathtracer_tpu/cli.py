@@ -32,12 +32,29 @@ def _load_scene(spec: str):
     if spec.endswith(".obj"):
         from unity_webgpu_pathtracer_tpu.scene.obj import load_obj
 
-        return load_obj(spec), dict(eye=(0, 1, 4), target=(0, 0, 0), fov_y_deg=45.0), {}
+        scene = load_obj(spec)
+        return scene, _frame_camera(scene), {}
     if spec.endswith((".glb", ".gltf")):
         from unity_webgpu_pathtracer_tpu.scene.gltf import load_gltf
 
-        return load_gltf(spec), dict(eye=(0, 1, 4), target=(0, 0, 0), fov_y_deg=45.0), {}
+        scene = load_gltf(spec)
+        return scene, _frame_camera(scene), {}
     raise SystemExit(f"unrecognized scene spec: {spec}")
+
+
+def _frame_camera(scene) -> dict:
+    """Auto-frame a loaded model from its world AABB (a 3/4 view that fits
+    the whole bounding sphere at 40 deg vfov), overridable by --eye/--target."""
+    import numpy as np
+
+    lo, hi = scene.world_bounds()
+    center = (lo + hi) / 2
+    radius = float(np.linalg.norm(hi - lo)) / 2 or 1.0
+    dist = radius / np.sin(np.radians(40.0) / 2) * 1.1
+    d = np.array([0.55, 0.35, 0.76])
+    d /= np.linalg.norm(d)
+    return dict(eye=tuple(center + d * dist), target=tuple(center),
+                fov_y_deg=40.0)
 
 
 def cmd_render(args):

@@ -4,7 +4,14 @@ The reference consumes meshes through Unity's asset pipeline; the framework
 needs standalone loaders.  Supports v/vn/vt, polygon triangulation (fan),
 negative indices, usemtl grouping, and a pragmatic MTL subset mapped onto
 the metallic-roughness material model (Kd -> baseColor, Ke -> emission,
-Ns -> roughness, d -> opacity, Ni -> ior).
+Ns -> roughness, d -> opacity, Ni -> ior) plus texture maps (map_Kd ->
+baseColor texture, map_d -> alpha mask merged into the baseColor alpha
+channel, map_Ke -> emission texture) — the subset the reference's real
+Sponza content uses (`Assets/Examples/Models/Sponza/sponza.mtl`, 3ds-Max
+export: backslash paths, case-mismatched texture directory, per-material
+map_Kd/map_d/map_bump).  Unresolvable or undecodable texture files degrade
+to the factor constants (never an exception): asset trees with missing
+textures must still render.
 """
 
 from __future__ import annotations
@@ -18,9 +25,14 @@ from unity_webgpu_pathtracer_tpu.scene.mesh import Mesh
 from unity_webgpu_pathtracer_tpu.scene.scene import Scene
 
 
-def load_mtl(path: str) -> dict[str, MaterialDesc]:
+def load_mtl(path: str, maps: dict[str, dict[str, str]] | None = None
+             ) -> dict[str, MaterialDesc]:
+    """Parse an MTL file.  ``maps``, if given, collects per-material texture
+    map references as ``{material: {"kd"|"d"|"ke"|"bump": raw_path}}``
+    (raw as written in the file; resolve with :func:`resolve_map_path`)."""
     materials = {}
     cur = None
+    cur_maps: dict[str, str] = {}
     if not os.path.exists(path):
         return materials
     with open(path) as f:
@@ -32,6 +44,8 @@ def load_mtl(path: str) -> dict[str, MaterialDesc]:
             if key == "newmtl":
                 cur = MaterialDesc()
                 materials[parts[1]] = cur
+                if maps is not None:
+                    cur_maps = maps.setdefault(parts[1], {})
             elif cur is None:
                 continue
             elif key == "Kd":
@@ -53,15 +67,77 @@ def load_mtl(path: str) -> dict[str, MaterialDesc]:
                 cur.metallic = float(parts[1])
             elif key == "Pr":  # PBR extension: roughness
                 cur.roughness = float(parts[1])
+            elif key in ("map_Kd", "map_d", "map_Ke", "map_bump", "bump") \
+                    and maps is not None and len(parts) > 1:
+                # Map path = last token (options like -bm precede it).
+                slot = {"map_Kd": "kd", "map_d": "d", "map_Ke": "ke",
+                        "map_bump": "bump", "bump": "bump"}[key]
+                cur_maps[slot] = parts[-1]
     return materials
 
 
-def load_obj(path: str) -> Scene:
-    """Load an OBJ file into a Scene (one mesh per material group)."""
+def resolve_map_path(base_dir: str, raw: str) -> str | None:
+    """Resolve an MTL texture reference to an existing file.
+
+    Handles Windows backslash separators and case-mismatched path
+    components (sponza.mtl says ``textures\\lion.png``; the directory on
+    disk is ``Textures/``) by walking each component case-insensitively.
+    Returns None when no file matches.
+    """
+    rel = raw.replace("\\", "/").strip()
+    cand = os.path.join(base_dir, rel)
+    if os.path.exists(cand):
+        return cand
+    cur = base_dir
+    for comp in rel.split("/"):
+        if not comp or not os.path.isdir(cur):
+            return None
+        entries = {e.lower(): e for e in os.listdir(cur)}
+        match = entries.get(comp.lower())
+        if match is None:
+            return None
+        cur = os.path.join(cur, match)
+    return cur if os.path.exists(cur) else None
+
+
+def _load_image_rgba(path: str) -> np.ndarray | None:
+    """Decode PNG (native reader) or anything-Pillow-reads to RGBA8.
+    Returns None on any failure (e.g. git-LFS pointer stubs)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+        if head == b"\x89PNG\r\n\x1a\n":
+            from unity_webgpu_pathtracer_tpu.utils.image import read_png
+
+            img = read_png(path)
+            if img.ndim == 2:
+                img = np.stack([img] * 3 + [np.full_like(img, 255)], -1)
+            if img.shape[-1] == 3:
+                img = np.concatenate(
+                    [img, np.full(img.shape[:2] + (1,), 255, img.dtype)], -1)
+            return img
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGBA"), np.uint8)
+    except Exception:
+        return None
+
+
+def load_obj(path: str, load_textures: bool = True) -> Scene:
+    """Load an OBJ file into a Scene (one mesh per material group).
+
+    ``load_textures`` resolves each material's map_Kd/map_d/map_Ke
+    references into the scene texture atlas (map_d alpha masks merge into
+    the baseColor texture's alpha channel, matching the renderer's
+    single-texture opacity model — ``util/material.hlsl:95-105`` reads
+    opacity from baseColor.a); unresolvable files fall back to factors.
+    """
     positions, normals, uvs = [], [], []
     groups: dict[str, list] = {}
     current = "default"
     mtl: dict[str, MaterialDesc] = {}
+    mtl_maps: dict[str, dict[str, str]] = {}
+    mtl_dir = os.path.dirname(path)
 
     def resolve(idx, n):
         i = int(idx)
@@ -80,7 +156,8 @@ def load_obj(path: str) -> Scene:
             elif key == "vt":
                 uvs.append([float(x) for x in parts[1:3]])
             elif key == "mtllib":
-                mtl.update(load_mtl(os.path.join(os.path.dirname(path), parts[1])))
+                mtl.update(load_mtl(os.path.join(os.path.dirname(path), parts[1]),
+                                    maps=mtl_maps))
             elif key == "usemtl":
                 current = parts[1]
             elif key == "f":
@@ -101,8 +178,49 @@ def load_obj(path: str) -> Scene:
     normals_a = np.asarray(normals, np.float32) if normals else None
     uvs_a = np.asarray(uvs, np.float32) if uvs else None
 
+    # Resolve texture maps once per material (shared across groups).
+    tex_cache: dict[str, int] = {}
+
+    def _tex_for(name: str, desc: MaterialDesc) -> None:
+        refs = mtl_maps.get(name)
+        if not refs or not load_textures:
+            return
+        kd_raw = refs.get("kd")
+        if kd_raw is not None:
+            if kd_raw in tex_cache:
+                desc.base_color_texture = tex_cache[kd_raw]
+            else:
+                p = resolve_map_path(mtl_dir, kd_raw)
+                img = _load_image_rgba(p) if p else None
+                if img is not None:
+                    d_raw = refs.get("d")
+                    if d_raw is not None:
+                        # Merge the standalone alpha mask into baseColor.a
+                        dp = resolve_map_path(mtl_dir, d_raw)
+                        mask = _load_image_rgba(dp) if dp else None
+                        if mask is not None and mask.shape[:2] == img.shape[:2]:
+                            img = img.copy()
+                            img[..., 3] = mask[..., 0]
+                            desc.alpha_mode = 2  # mask
+                    tex_cache[kd_raw] = scene.add_texture(img)
+                    desc.base_color_texture = tex_cache[kd_raw]
+                    # White-out the factor: texture carries the color.
+                    desc.base_color = (1.0, 1.0, 1.0, desc.base_color[3])
+        ke_raw = refs.get("ke")
+        if ke_raw is not None:
+            p = resolve_map_path(mtl_dir, ke_raw)
+            img = tex_cache.get(ke_raw)
+            if img is None:
+                decoded = _load_image_rgba(p) if p else None
+                if decoded is not None:
+                    img = tex_cache[ke_raw] = scene.add_texture(decoded)
+            if img is not None:
+                desc.emission_texture = img
+
     for name, faces in groups.items():
-        mat_id = scene.add_material(mtl.get(name, MaterialDesc()))
+        desc = mtl.get(name, MaterialDesc())
+        _tex_for(name, desc)
+        mat_id = scene.add_material(desc)
         # Re-index per group: unique (v, t, n) corners become vertices.
         corner_map: dict[tuple, int] = {}
         verts, vnorms, vuvs, tris = [], [], [], []

@@ -220,6 +220,26 @@ class Scene:
     def set_environment(self, image: np.ndarray) -> None:
         self.env_image = np.asarray(image, np.float32)
 
+    def world_bounds(self) -> tuple[np.ndarray, np.ndarray]:
+        """World-space AABB over meshes and instances (for camera framing)."""
+        los, his = [], []
+
+        def acc(mesh, xf):
+            v = mesh.vertices
+            if xf is not None:
+                v = v @ np.asarray(xf, np.float32)[:3, :3].T + xf[:3, 3]
+            los.append(v.min(axis=0))
+            his.append(v.max(axis=0))
+
+        for mesh, xf in self.meshes:
+            acc(mesh, xf)
+        for mesh_id, xf, _mat in self.instances:
+            acc(self.meshes[mesh_id][0], xf)
+        if not los:
+            return np.zeros(3, np.float32), np.ones(3, np.float32)
+        return (np.min(los, axis=0).astype(np.float32),
+                np.max(his, axis=0).astype(np.float32))
+
     # ------------------------------------------------------------------
     def flatten(self) -> FlatTriangles:
         """World-space flattened triangle soup (non-TLAS path)."""
