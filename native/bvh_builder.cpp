@@ -899,6 +899,11 @@ static inline uint16_t f2h(float f) {
   uint32_t half = (uint32_t)(exp << 10) | (man >> 13);
   uint32_t rem = man & 0x1FFFu;
   if (rem > 0x1000u || (rem == 0x1000u && (half & 1))) half++;
+  // Round-to-nearest can carry 0x7BFF -> 0x7C00 (inf): values in
+  // (65504, 65520] overflow AFTER the exponent check above.  Clamp to max
+  // finite like every other overflow (numpy rounds these to inf, which
+  // _canon_f16 then clamps — the paths must stay bit-identical).
+  if ((half & 0x7C00u) == 0x7C00u) half = 0x7BFFu;
   return (uint16_t)(sign | half);
 }
 
@@ -1298,4 +1303,13 @@ extern "C" int build_wide16(const float* positions, const float* tri_records,
   return build_wide16_ex(positions, tri_records, tri_count, leaf_size, 0,
                          out_rows, row_capacity, out_depth, out_order,
                          tri_count, nullptr);
+}
+
+extern "C" void f2h_batch(const float* in, uint16_t* out, int n) {
+  // Test hook: exposes the builder's canonical f32->f16 conversion so the
+  // numpy fallback (accel/wide16._canon_f16 after np.float16 RNE) can be
+  // property-tested bit-identical against it — the two implementations
+  // MUST agree forever or the Pallas fast decode's table contract breaks
+  // silently (tests/test_native.py::test_f2h_parity_*).
+  for (int i = 0; i < n; ++i) out[i] = f2h(in[i]);
 }

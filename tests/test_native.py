@@ -74,3 +74,50 @@ def test_native_large_build_speed():
     dt = time.time() - t0
     assert out is not None
     assert dt < 20.0, f"native build too slow: {dt:.1f}s"
+
+
+def test_f2h_parity_fuzz():
+    """The C++ builder's f2h and the numpy fallback's canonical-f16 path
+    must be BIT-IDENTICAL on every input class (normals, subnormals,
+    +-0, inf, NaN, round-to-overflow values like 65520.0) — tables built
+    by either path feed the same Pallas fast decode, whose contract
+    (no subnormals/-0, no inf/nan) both emitters implement independently
+    in two languages.  A deliberate divergence here must fail."""
+    import warnings
+
+    from unity_webgpu_pathtracer_tpu.accel.native import (
+        native_available,
+        native_f2h_or_none,
+    )
+    from unity_webgpu_pathtracer_tpu.accel.wide16 import _canon_f16
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native builder unavailable")
+
+    rng = np.random.default_rng(0xF16)
+    bits = rng.integers(0, 2**32, size=1_000_000, dtype=np.uint64).astype(np.uint32)
+    # Deterministic edge set on top of the fuzz: exact boundaries of every
+    # branch in both implementations.
+    edges = np.array([
+        0.0, -0.0, 1.0, -1.0, 65504.0, -65504.0,
+        65519.996, 65520.0, 65536.0, 1e30, -1e30,
+        np.inf, -np.inf, np.nan,
+        6.103515625e-05,        # smallest f16 normal
+        6.0975551605224609e-05,  # largest f16 subnormal target
+        5.960464477539063e-08,   # smallest f16 subnormal target
+        2.9802322387695312e-08,  # exact tie to zero
+        3.0e-08, 1e-20, -1e-20, 2.0**-25, 2.0**-24,
+    ], np.float32)
+    x = np.concatenate([bits.view(np.float32), edges])
+
+    got = native_f2h_or_none(x)
+    assert got is not None, "stale libtpubvh.so without f2h_batch: make -C native"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # overflow-in-cast is the point
+        ref = _canon_f16(x.astype(np.float16))
+    bad = got != ref
+    assert not bad.any(), (
+        f"{int(bad.sum())} mismatches; first: "
+        f"x={x[bad][0]!r} cpp={hex(got[bad][0])} numpy={hex(ref[bad][0])}")

@@ -240,3 +240,31 @@ def native_wide8_or_none(positions: np.ndarray, tri_records: np.ndarray,
     if n <= 0:
         return None
     return np.ascontiguousarray(rows[:n]), int(depth.value), order
+
+
+def native_f2h_or_none(vals: np.ndarray) -> np.ndarray | None:
+    """Batch f32 -> canonical-f16 bits via the C++ builder's ``f2h``.
+
+    Test hook for the two-implementation invariant: the numpy fallback
+    emitters (``accel.wide16._canon_f16`` applied after np.float16 RNE)
+    and the native builder's ``f2h`` must stay BIT-IDENTICAL on every
+    input class, or tables built by one path silently break the Pallas
+    fast decode's contract (tests/test_native.py::test_f2h_parity_fuzz).
+    Returns None when the library (or a stale build without the symbol)
+    is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        fn = lib.f2h_batch
+    except AttributeError:
+        return None
+    fn.restype = None
+    fn.argtypes = [ctypes.POINTER(ctypes.c_float),
+                   ctypes.POINTER(ctypes.c_uint16), ctypes.c_int]
+    x = np.ascontiguousarray(np.asarray(vals, np.float32).ravel())
+    out = np.empty(x.size, np.uint16)
+    fn(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), x.size)
+    return out
