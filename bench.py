@@ -130,6 +130,10 @@ def main():
     # te10 13.52-13.72, te6 13.83).
     te = int(os.environ.get("BENCH_TE", 8))
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    # Attr table layout (config.attr_compact): 2 = f16 rows (32 B/tri),
+    # 3 = oct-normal rows (16 B/tri; valid here — the bench scene is
+    # untextured).
+    attr_mode = int(os.environ.get("BENCH_ATTR", 2))
     # Record film (append + end-of-pass sort resolve) A/B toggle; the
     # config default governs when unset.
     record = os.environ.get("BENCH_RECORD")
@@ -151,7 +155,7 @@ def main():
         traversal=trav, sky_mode=SKY_MODE_ENVIRONMENT,
         has_environment_texture=True, use_russian_roulette=True,
         integrator="fused", pool_size=pool, bvh_octants=1, transition_every=te,
-        use_pallas_arrival=pallas, **film_kw,
+        use_pallas_arrival=pallas, attr_compact=attr_mode, **film_kw,
     )
     scene_data = scene.build(config.traversal, octants=config.bvh_octants)
     build_s = time.time() - t0

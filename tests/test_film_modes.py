@@ -139,3 +139,26 @@ def test_attr_compact_modes(cornell_setup):
     c2 = _render(dataclasses.replace(config, attr_compact=2), params, scene)
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_allclose(c2, f32, atol=2e-3, rtol=2e-3)
+
+
+def test_attr_compact_oct_mode(cornell_setup):
+    # Mode 3 (16-byte oct-normal rows, no uv): radiometry within oct
+    # quantization noise of the f32 rows on an untextured scene, and a
+    # static error when textures or normal maps are configured (the rows
+    # carry no uv to feed them).
+    scene, config, params, _ = cornell_setup
+    f32 = _render(dataclasses.replace(config, attr_compact=0), params, scene)
+    c3 = _render(dataclasses.replace(config, attr_compact=3), params, scene)
+    # Perturbing normals by the oct quantization (~7e-4 rad) can flip a
+    # rare near-edge sample onto a different path entirely (chaotic
+    # trajectories), so the comparison is statistical: almost every pixel
+    # within quantization noise, image mean unchanged.
+    close = np.isclose(c3, f32, atol=2e-3, rtol=2e-3)
+    assert close.mean() > 0.995, f"{(~close).sum()} of {close.size} off"
+    # At this tiny spp a single flipped bright path moves the image mean
+    # by ~1%; the proper radiometric net is the golden-image z-test
+    # (tests/test_golden.py) at production spp.
+    np.testing.assert_allclose(c3.mean(), f32.mean(), rtol=2e-2)
+    with pytest.raises(ValueError, match="attr_compact=3"):
+        _render(dataclasses.replace(config, attr_compact=3,
+                                    has_textures=True), params, scene)

@@ -218,6 +218,11 @@ class RenderConfig:
     # 11.10 -> 12.13 Mrays/s): known-good row width at half footprint.
     # Default mode 2; per-pixel film delta vs f32 attrs is ~2e-5 rel on
     # small scenes, within MC noise at production spp.
+    # Mode 3 = 16-byte rows (3 octahedral-u32 vertex normals + material,
+    # FOUR tris per gathered 64-byte row, scene._pack_attr_shade_o):
+    # quarter the mode-2 footprint, but stores NO uv — statically
+    # requires has_textures=False and has_normal_maps=False (the fused
+    # integrator raises otherwise).
     attr_compact: int = 2
 
     # Pallas arrival: take the gathered node rows as (B, 96) and

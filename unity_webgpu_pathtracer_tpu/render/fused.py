@@ -333,7 +333,49 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     sel_inst = jnp.where(a, s.trav.hit_inst, s.hit_inst)
 
     attr = jnp.maximum(sel_tri, 0)
-    if getattr(config, "attr_compact", False):
+    oct_mode = int(getattr(config, "attr_compact", 0) or 0) == 3
+    if oct_mode:
+        # Mode 3: 16-byte rows (3 oct16x2 vertex normals + material), four
+        # tris per gathered 64-byte row — quarter the mode-2 footprint
+        # (scene._pack_attr_shade_o).  No uv is stored: this path is only
+        # valid for untextured, non-normal-mapped configs, where the
+        # interpolated uv feeds nothing.
+        if config.has_textures or config.has_normal_maps:
+            raise ValueError("attr_compact=3 requires has_textures=False "
+                             "and has_normal_maps=False (no uv in the "
+                             "oct-normal rows); use attr_compact=2")
+        table = scene.attr_shade_o.reshape(-1, 16)
+        quad = table[attr // 4]                             # (B, 16) u32
+        sub = attr % 4
+        rowo = jnp.where(
+            (sub == 0)[:, None], quad[:, 0:4],
+            jnp.where((sub == 1)[:, None], quad[:, 4:8],
+                      jnp.where((sub == 2)[:, None], quad[:, 8:12],
+                                quad[:, 12:16])))           # (B, 4)
+
+        def oct_dec(u):
+            x = (u & jnp.uint32(0xFFFF)).astype(jnp.float32) \
+                * jnp.float32(2.0 / 65535.0) - 1.0
+            y = (u >> jnp.uint32(16)).astype(jnp.float32) \
+                * jnp.float32(2.0 / 65535.0) - 1.0
+            z = 1.0 - jnp.abs(x) - jnp.abs(y)
+            t_f = jnp.maximum(-z, 0.0)
+            x = x - jnp.where(x >= 0, t_f, -t_f)
+            y = y - jnp.where(y >= 0, t_f, -t_f)
+            return jnp.stack([x, y, z], axis=-1)            # unnormalized
+
+        n0 = oct_dec(rowo[:, 0])
+        n1 = oct_dec(rowo[:, 1])
+        n2 = oct_dec(rowo[:, 2])
+        # Normalize per-vertex BEFORE interpolation (matches the other
+        # layouts, which store unit vertex normals).
+        n0, n1, n2 = normalize(n0), normalize(n1), normalize(n2)
+        w0 = (1.0 - sel_bary[:, 0] - sel_bary[:, 1])[:, None]
+        normal = normalize(n0 * w0 + n1 * sel_bary[:, 0:1]
+                           + n2 * sel_bary[:, 1:2])
+        uv = jnp.zeros((b, 2), jnp.float32)
+        mat_idx = rowo[:, 3].astype(jnp.int32)
+    elif getattr(config, "attr_compact", False):
         # Compact 32-byte rows: 15 f16 halfwords + u16 material packed in
         # 8 u32 words (scene._pack_attr_shade_c).  Half the table
         # footprint of the f32 rows, which is what random-gather pricing
@@ -373,12 +415,13 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
             (sub == 0)[:, None], row3[:, 0:16],
             jnp.where((sub == 1)[:, None], row3[:, 16:32], row3[:, 32:48]),
         )
-    normal = normalize(_interp(sel_bary, shade_row[:, 0:9], 3))
-    uv = _interp(sel_bary, shade_row[:, 9:15], 2)
-    if getattr(config, "attr_compact", False):
-        mat_idx = half[:, 15].astype(jnp.int32)
-    else:
-        mat_idx = jax.lax.bitcast_convert_type(shade_row[:, 15], jnp.int32)
+    if not oct_mode:
+        normal = normalize(_interp(sel_bary, shade_row[:, 0:9], 3))
+        uv = _interp(sel_bary, shade_row[:, 9:15], 2)
+        if getattr(config, "attr_compact", False):
+            mat_idx = half[:, 15].astype(jnp.int32)
+        else:
+            mat_idx = jax.lax.bitcast_convert_type(shade_row[:, 15], jnp.int32)
     if config.has_normal_maps:
         # Dedicated tangent gather — only compiled in when the scene
         # carries normal maps (static flag).

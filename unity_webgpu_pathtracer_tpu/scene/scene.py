@@ -75,6 +75,53 @@ def _pack_attr_shade_c(normals9: np.ndarray, uvs6: np.ndarray,
     return np.ascontiguousarray(h).view(np.uint32)   # (T_pad, 8)
 
 
+def _sign_not_zero(x: np.ndarray) -> np.ndarray:
+    return np.where(x >= 0.0, 1.0, -1.0).astype(np.float32)
+
+
+def _oct_encode_u32(normals: np.ndarray) -> np.ndarray:
+    """(N, 3) normals -> one u32 each: 16-bit octahedral (x | y<<16).
+
+    Max angular error ~1/32768 rad — an order tighter than the f16
+    component encoding it replaces.  Zero vectors map to the +z pole.
+    """
+    n = np.asarray(normals, np.float32)
+    denom = np.maximum(np.abs(n).sum(axis=1, keepdims=True), 1e-20)
+    p = n[:, 0:2] / denom
+    neg = n[:, 2] < 0.0
+    folded = (1.0 - np.abs(p[:, ::-1])) * _sign_not_zero(p)
+    p = np.where(neg[:, None], folded, p)
+    q = np.clip(np.round((p * 0.5 + 0.5) * 65535.0), 0, 65535).astype(np.uint32)
+    return q[:, 0] | (q[:, 1] << np.uint32(16))
+
+
+def _pack_attr_shade_o(normals9: np.ndarray, material: np.ndarray) -> np.ndarray:
+    """Ultra-compact 16-byte per-triangle shading rows for UNTEXTURED
+    scenes: three 16-bit-octahedral vertex normals + the material index,
+    4 u32 words per triangle, FOUR triangles per stored 64-byte row (the
+    gathered row width the unit prices well — attr_compact mode 1's
+    32-byte rows measured WORSE than mode 2's 64-byte ones despite half
+    the footprint).  Quarter the mode-2 footprint: 16 MB at 1M tris,
+    under the random-gather table-footprint knee
+    (experiments/round11_attrsort.py: 32 MB -> 16.2 ns/row, cache-side
+    -> ~6-8).  uv is NOT stored: with ``has_textures=False`` the
+    interpolated uv feeds nothing (derive_material only reads it for
+    texture fetches), so the fused integrator's mode-3 path statically
+    requires untextured configs.
+    """
+    t = normals9.shape[0]
+    pad = ((t + 3) // 4) * 4
+    out = np.zeros((pad, 4), np.uint32)
+    n = np.asarray(normals9, np.float32).reshape(t, 3, 3)
+    for v in range(3):
+        out[:t, v] = _oct_encode_u32(n[:, v])
+    m = material.astype(np.int64)
+    if m.size and (m.max() > 0xFFFF or m.min() < 0):
+        raise ValueError("attr_compact supports at most 65536 materials")
+    out[:t, 3] = m.astype(np.uint32)
+    return np.ascontiguousarray(out)   # (T_pad, 4)
+
+
 class SceneData(NamedTuple):
     """Device-resident flat scene arrays (all shapes static).
 
@@ -112,6 +159,12 @@ class SceneData(NamedTuple):
     # ``_pack_attr_shade_c``.
     # (placeholder is (2, 8) so the mode-2 (-1, 16) reshape stays valid)
     attr_shade_c: jnp.ndarray = _z(2, 8, dtype=jnp.uint32)  # (6*ceil(T/6), 8)
+
+    # Ultra-compact 16-byte rows (mode 3, untextured scenes): 3 oct16x2
+    # vertex normals + material, four tris per gathered 64-byte row
+    # (``_pack_attr_shade_o``).  Placeholder (4, 4) keeps the consumer's
+    # (-1, 16) reshape valid.
+    attr_shade_o: jnp.ndarray = _z(4, 4, dtype=jnp.uint32)  # (4*ceil(T/4), 4)
 
     # 8-wide MBVH (SoA): bounds laid out [lox·8, loy·8, loz·8, hix·8, hiy·8, hiz·8].
     bvh_bounds: jnp.ndarray = _z(1, 48)       # (N, 48) float32
@@ -397,6 +450,8 @@ class Scene:
                 flat.normals.reshape(m, 9), flat.uvs.reshape(m, 6), flat.material)),
             attr_shade_c=jnp.asarray(_pack_attr_shade_c(
                 flat.normals.reshape(m, 9), flat.uvs.reshape(m, 6), flat.material)),
+            attr_shade_o=jnp.asarray(_pack_attr_shade_o(
+                flat.normals.reshape(m, 9), flat.material)),
             materials=jnp.asarray(materials),
             texture_data=jnp.asarray(atlas),
             lights=jnp.asarray(light_table),
@@ -492,6 +547,8 @@ class Scene:
             attr_shade_c=jnp.asarray(_pack_attr_shade_c(
                 flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
                 flat_all.material)),
+            attr_shade_o=jnp.asarray(_pack_attr_shade_o(
+                flat_all.normals.reshape(m, 9), flat_all.material)),
             materials=jnp.asarray(materials),
             texture_data=jnp.asarray(atlas),
             lights=jnp.asarray(light_table),
@@ -585,6 +642,8 @@ class Scene:
             attr_shade_c=jnp.asarray(_pack_attr_shade_c(
                 flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
                 flat_all.material)),
+            attr_shade_o=jnp.asarray(_pack_attr_shade_o(
+                flat_all.normals.reshape(m, 9), flat_all.material)),
             materials=jnp.asarray(materials),
             texture_data=jnp.asarray(atlas),
             lights=jnp.asarray(light_table),
