@@ -123,9 +123,11 @@ def main():
     # occupancy 0.993). 32k flips negative on per-wave fixed costs.
     pool = int(os.environ.get("BENCH_POOL", 3 << 15))
     trav = os.environ.get("BENCH_TRAV", "wide16")
-    # 32 spp/pass: the longer work queue amortizes the drain tail
-    # (occupancy 0.957 -> 0.978, +2% — round-3 pool/spp sweep).
-    spp = int(os.environ.get("BENCH_SPP", 32))
+    # 64 spp/pass: the longer work queue amortizes the drain tail and the
+    # per-pass resolve (round-14 sweep: 12.90 / 13.62 / 13.59 Mrays/s at
+    # 32 / 64 / 128 — occupancy 0.993 -> 0.997; 128 is flat and doubles
+    # the record buffer, so 64 ships).
+    spp = int(os.environ.get("BENCH_SPP", 64))
     # te=8 re-confirmed optimal at the 96k pool (round-12: te8 13.27 s,
     # te10 13.52-13.72, te6 13.83).
     te = int(os.environ.get("BENCH_TE", 8))

@@ -1156,10 +1156,14 @@ struct Wide16Emitter {
         if (border[idx[k]] == t) { dup = true; break; }
       if (dup) continue;
       const float* r = recs + (size_t)t * 9;
+      // SPLIT halfword order (accel/wide16.py PERM_H_POS): slot s lives
+      // at halfword 2s (s<8) / 2(s-8)+1 — word w carries slots (w, w+8)
+      // so the Pallas decode's lo/hi blocks come out slot-ordered.
+      const int hpos = packed < 8 ? 2 * packed : 2 * (packed - 8) + 1;
       for (int c = 0; c < 9; ++c) {
         float v = r[c];
         if (c >= 6) v -= row[c - 6];
-        halves[c][packed] = f2h(v);
+        halves[c][hpos] = f2h(v);
       }
       idx[packed] = lo + j;   // attr row = BVH-order position (host permutes)
       ++packed;
@@ -1247,10 +1251,15 @@ struct Wide16Emitter {
     int32_t eword = (e[0] + 127) | ((e[1] + 127) << 8) | ((e[2] + 127) << 16);
     std::memcpy(row + 4, &eword, 4);
     uint8_t qbytes[96];
-    for (int c = 0; c < 3; ++c) {
-      std::memcpy(qbytes + c * W, qlo[c], W);
-      std::memcpy(qbytes + 48 + c * W, qhi[c], W);
-    }
+    // SPLIT byte order (accel/wide16.py PERM_Q): slot s at byte
+    // 4*(s%4) + s/4 of its comp group — byte j of word w = slot 4j+w,
+    // so the Pallas decode's whole-word shifts come out slot-ordered.
+    for (int c = 0; c < 3; ++c)
+      for (int s = 0; s < W; ++s) {
+        const int qpos = 4 * (s % 4) + s / 4;
+        qbytes[c * W + qpos] = qlo[c][s];
+        qbytes[48 + c * W + qpos] = qhi[c][s];
+      }
     std::memcpy(row + 8, qbytes, 96);
     std::memcpy(row + 32, ptrs, W * 4);
     return my;

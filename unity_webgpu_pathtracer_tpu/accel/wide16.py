@@ -89,18 +89,6 @@ def _collapse16(bvh: BVH2, node: int, counts: np.ndarray) -> list[int]:
     return kids
 
 
-def _pack_u8(vals: np.ndarray) -> np.ndarray:
-    """(4k,) uint8 -> (k,) float32 (little-endian byte packing)."""
-    b = np.asarray(vals, np.uint8).reshape(-1, 4)
-    words = (
-        b[:, 0].astype(np.uint32)
-        | (b[:, 1].astype(np.uint32) << 8)
-        | (b[:, 2].astype(np.uint32) << 16)
-        | (b[:, 3].astype(np.uint32) << 24)
-    )
-    return words.view(np.int32).view(np.float32)
-
-
 def _canon_f16(h: np.ndarray) -> np.ndarray:
     """Canonicalize f16 bit patterns to the table contract of the TPU fast
     decode (ops/pallas_arrival.py::_f16_bits_to_f32): subnormals and -0
@@ -112,10 +100,41 @@ def _canon_f16(h: np.ndarray) -> np.ndarray:
     return hb
 
 
-def _pack_f16(vals: np.ndarray) -> np.ndarray:
-    """(2k,) float -> (k,) float32 carrying packed float16."""
-    h = _canon_f16(np.asarray(vals, np.float16)).reshape(-1, 2)
-    words = h[:, 0].astype(np.uint32) | (h[:, 1].astype(np.uint32) << 16)
+# Slot <-> storage-position permutations (SPLIT slot order).
+#
+# The Pallas arrival kernel assembles each decoded (16, BLK) block from
+# sublane rows; with the natural order (halfword/byte position == slot) it
+# needs a 16-way single-row interleave per component — measured 12.4% of
+# the whole kernel (experiments/round14_kernel_diet.py, leaf_noint).  The
+# SPLIT order stores:
+#
+# * leaf f16: word w carries (slot w, slot w+8) -> decode is
+#   concat([lo-halves (8,BLK), hi-halves (8,BLK)]) — 1 concat, in order;
+# * child q-bytes: byte j of word w carries slot 4j+w -> decode is
+#   concat over j of 4 (4, BLK) shifted blocks — 4 concats, in order.
+#
+# The XLA/numpy consumers apply these STATIC index permutations after
+# their whole-slice bitcasts (CPU/test path; cost irrelevant there).
+# PERM_Q is an involution (pos(pos(s)) == s); PERM_H_* are inverses.
+PERM_H_POS = np.array([2 * s if s < 8 else 2 * (s - 8) + 1
+                       for s in range(16)])        # slot -> halfword pos
+PERM_H_SLOT = np.argsort(PERM_H_POS)               # halfword pos -> slot
+PERM_Q = np.array([4 * (s % 4) + s // 4 for s in range(16)])  # involution
+
+
+def _pack_f16_split(vals16: np.ndarray) -> np.ndarray:
+    """(16,) float -> (8,) float32 words in SPLIT order: word w = slot w
+    (lo half) | slot w+8 (hi half)."""
+    h = _canon_f16(np.asarray(vals16, np.float16))
+    words = h[0:8].astype(np.uint32) | (h[8:16].astype(np.uint32) << 16)
+    return words.view(np.int32).view(np.float32)
+
+
+def _pack_u8_t(vals16: np.ndarray) -> np.ndarray:
+    """(16,) uint8 slots -> (4,) float32 words in SPLIT order: byte j of
+    word w = slot 4j+w."""
+    s = np.asarray(vals16, np.uint8).astype(np.uint32)
+    words = (s[0:4] | (s[4:8] << 8) | (s[8:12] << 16) | (s[12:16] << 24))
     return words.view(np.int32).view(np.float32)
 
 
@@ -146,10 +165,11 @@ def _quantize_node(row: np.ndarray, nmin: np.ndarray, nmax: np.ndarray,
         qlo[k] = np.clip(ql, 0, 255).astype(np.uint8)
         qhi[k] = np.clip(qh, 0, 255).astype(np.uint8)
     # comp-major: qlox·16, qloy·16, qloz·16, qhix·16, qhiy·16, qhiz·16
+    # (SPLIT byte order within each comp — see PERM_Q).
     out = []
     for arr in (qlo, qhi):
         for c in range(3):
-            out.append(_pack_u8(arr[:, c]))
+            out.append(_pack_u8_t(arr[:, c]))
     row[OFF_QBOX : OFF_QBOX + 24] = np.concatenate(out)
 
 
@@ -162,7 +182,7 @@ def _leaf_row(row: np.ndarray, nmin, recs: np.ndarray, idx: np.ndarray):
     comps = np.zeros((9, WIDTH), np.float32)
     comps[:, :cnt] = recs.T
     comps[6:9, :cnt] -= anchor[:, None]          # v0 relative to anchor
-    packed = [_pack_f16(comps[c]) for c in range(9)]
+    packed = [_pack_f16_split(comps[c]) for c in range(9)]
     row[OFF_TRIS : OFF_TRIS + 72] = np.concatenate(packed)
     ints = np.full(WIDTH, -1, np.int32)
     ints[:cnt] = idx
@@ -247,7 +267,10 @@ def _decode_top_row(nodes: np.ndarray, p: int, out: np.ndarray) -> None:
     eword = int(row[OFF_EXPS : OFF_EXPS + 1].view(np.int32)[0])
     for c in range(3):
         out[3 + c] = np.ldexp(np.float32(1.0), ((eword >> (8 * c)) & 0xFF) - 127)
-    qbytes = row[OFF_QBOX : OFF_QBOX + 24].view(np.uint8).astype(np.float32)
+    # Un-permute the SPLIT byte order so the top table stays slot-ordered
+    # (the prestep16 slab consumer is layout-agnostic this way).
+    qbytes = (row[OFF_QBOX : OFF_QBOX + 24].view(np.uint8)
+              .reshape(6, 16)[:, PERM_Q].reshape(96).astype(np.float32))
     out[6:54] = qbytes[:48]
     out[54:102] = qbytes[48:]
     out[102:118] = row[OFF_PTRS : OFF_PTRS + 16].view(np.int32)
@@ -483,10 +506,11 @@ def decode_leaf_tris(row: np.ndarray):
     """Host-side decode of one leaf row -> (cnt, recs (cnt,9), idx (cnt,))."""
     cnt = int(row[OFF_META : OFF_META + 1].view(np.int32)[0])
     words = row[OFF_TRIS : OFF_TRIS + 72].view(np.uint32).reshape(9, 8)
-    halves = np.stack(
+    # SPLIT slot order: word w = (slot w | slot w+8 << 16).
+    halves = np.concatenate(
         [(words & 0xFFFF).astype(np.uint16), (words >> 16).astype(np.uint16)],
         axis=-1,
-    ).reshape(9, WIDTH)
+    )                                                   # (9, WIDTH)
     comps = halves.view(np.float16).astype(np.float32)
     comps[6:9] += row[0:3][:, None]
     idx = row[OFF_IDX : OFF_IDX + 16].view(np.int32)
@@ -524,7 +548,8 @@ def validate_wide16(w: Wide16, tri_count: int):
             e = int(nodes[r, OFF_EXPS : OFF_EXPS + 1].view(np.int32)[0])
             ex = np.array([e & 255, (e >> 8) & 255, (e >> 16) & 255]) - 127
             scale = np.ldexp(np.ones(3, np.float32), ex)
-            qb = nodes[r, OFF_QBOX : OFF_QBOX + 24].view(np.uint8).reshape(6, 16)
+            qb = (nodes[r, OFF_QBOX : OFF_QBOX + 24].view(np.uint8)
+                  .reshape(6, 16)[:, PERM_Q])   # SPLIT order -> slot order
             ptrs = nodes[r, OFF_PTRS : OFF_PTRS + 16].view(np.int32)
             for k in range(WIDTH):
                 if ptrs[k] < 0:

@@ -135,16 +135,18 @@ def _arrival_kernel(transpose_in_kernel, has_inst, *refs):
     for c in range(3):
         scale_c = jax.lax.bitcast_convert_type(
             ((eword >> (8 * c)) & 0xFF) << 23, jnp.float32)
-        # comp-major qbytes: axis c's qlo lives in words [8+4c, 8+4c+4),
-        # qhi in [20+4c, ...); little-endian byte j of word w is slot 4w+j.
+        # comp-major qbytes in SPLIT order (byte j of word w = slot 4j+w,
+        # accel.wide16.PERM_Q): each shift of the whole (4, BLK) word
+        # block yields 4 consecutive slots — 4 block concats instead of
+        # the old 16 single-row interleaves (12% of the kernel).
         qlo_w = rowT_i[8 + 4 * c : 8 + 4 * c + 4]        # (4, BLK)
         qhi_w = rowT_i[20 + 4 * c : 20 + 4 * c + 4]
         qlo = jnp.concatenate(
-            [((qlo_w[w : w + 1] >> (8 * j)) & 0xFF).astype(jnp.float32)
-             for w in range(4) for j in range(4)], axis=0)   # (16, BLK)
+            [((qlo_w >> (8 * j)) & 0xFF).astype(jnp.float32)
+             for j in range(4)], axis=0)                 # (16, BLK)
         qhi = jnp.concatenate(
-            [((qhi_w[w : w + 1] >> (8 * j)) & 0xFF).astype(jnp.float32)
-             for w in range(4) for j in range(4)], axis=0)
+            [((qhi_w >> (8 * j)) & 0xFF).astype(jnp.float32)
+             for j in range(4)], axis=0)
         lo = rowT[c][None, :] + qlo * scale_c[None, :]
         hi = rowT[c][None, :] + qhi * scale_c[None, :]
         tl = (lo - o[c][None, :]) * inv[c][None, :]
@@ -174,16 +176,15 @@ def _arrival_kernel(transpose_in_kernel, has_inst, *refs):
     entry_mask = jnp.where(one_left, 0, remaining)
 
     # ---- leaf: f16 anchored triangles, Möller-Trumbore ----
+    # SPLIT halfword order (word w = slot w lo | slot w+8 hi): the decoded
+    # lo/hi (8, BLK) blocks ARE slots 0-7 / 8-15 — one concat per comp
+    # instead of the old 16 single-row interleaves.
     comp = []
     for c in range(9):
         words = rowT_i[4 + 8 * c : 12 + 8 * c]           # (8, BLK)
         flo = _f16_bits_to_f32(words & 0xFFFF)
         fhi = _f16_bits_to_f32((words >> 16) & 0xFFFF)
-        rows = []
-        for w in range(8):                  # slot 2w = lo half, 2w+1 = hi
-            rows.append(flo[w : w + 1])
-            rows.append(fhi[w : w + 1])
-        comp.append(jnp.concatenate(rows, axis=0))       # (16, BLK)
+        comp.append(jnp.concatenate([flo, fhi], axis=0))  # (16, BLK)
     e2x, e2y, e2z, e1x, e1y, e1z, v0x, v0y, v0z = comp
     v0x = v0x + rowT[0][None, :]
     v0y = v0y + rowT[1][None, :]

@@ -28,7 +28,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from unity_webgpu_pathtracer_tpu.accel.wide16 import MAX_DEPTH
+from unity_webgpu_pathtracer_tpu.accel.wide16 import (
+    MAX_DEPTH,
+    PERM_H_POS,
+    PERM_Q,
+)
 from unity_webgpu_pathtracer_tpu.ops.intersect import DET_EPS, T_MIN
 from unity_webgpu_pathtracer_tpu.utils.math import FAR_PLANE, safe_rcp
 
@@ -122,14 +126,18 @@ def arrival_step16(nodes, o, d, inv, s: Wide16State, active=None,
         axis=-1,
     )                                                            # (B, 3)
     # Whole-slice bitcast + reshape (per-column extracts lower to strided
-    # slice-loops, ~1.5 ms each at B=262k — same rule as wide8).
+    # slice-loops, ~1.5 ms each at B=262k — same rule as wide8), then a
+    # STATIC column permutation from the SPLIT byte order back to slot
+    # order (accel.wide16.PERM_Q; this jnp path is the CPU/test tier —
+    # the Pallas kernel consumes the SPLIT order natively).
     qbytes = jax.lax.bitcast_convert_type(
         row[:, 8:32], jnp.uint8).reshape(b, 96).astype(jnp.float32)
+    perm_q = jnp.asarray(PERM_Q, jnp.int32)
     t_near = jnp.zeros((b, 16), jnp.float32)
     t_far = jnp.broadcast_to(s.t[:, None], (b, 16))
     for c in range(3):
-        qlo = qbytes[:, 16 * c : 16 * c + 16]
-        qhi = qbytes[:, 48 + 16 * c : 64 + 16 * c]
+        qlo = qbytes[:, 16 * c : 16 * c + 16][:, perm_q]
+        qhi = qbytes[:, 48 + 16 * c : 64 + 16 * c][:, perm_q]
         lo = anchor[:, c : c + 1] + qlo * scale[:, c : c + 1]
         hi = anchor[:, c : c + 1] + qhi * scale[:, c : c + 1]
         tl = (lo - o_[:, c : c + 1]) * inv_[:, c : c + 1]
@@ -168,9 +176,12 @@ def arrival_step16(nodes, o, d, inv, s: Wide16State, active=None,
     sp = s.sp + push.astype(jnp.int32)
 
     # ---- leaf: decode f16 anchored triangle records, Möller-Trumbore ----
+    # SPLIT halfword order (word w = slots w, w+8): static per-comp column
+    # permutation back to slot order (accel.wide16.PERM_H_POS).
     halves = jax.lax.bitcast_convert_type(
         row[:, 4:76], jnp.float16).reshape(b, 144).astype(jnp.float32)
-    comp = [halves[:, 16 * c : 16 * c + 16] for c in range(9)]
+    perm_h = jnp.asarray(PERM_H_POS, jnp.int32)
+    comp = [halves[:, 16 * c : 16 * c + 16][:, perm_h] for c in range(9)]
     e2x, e2y, e2z = comp[0], comp[1], comp[2]
     e1x, e1y, e1z = comp[3], comp[4], comp[5]
     v0x = comp[6] + anchor[:, 0:1]
@@ -337,7 +348,8 @@ def prestep16(nodes, top, o, d, inv, s: Wide16State, mask,
     qwords = row0_i[8:32]                                        # (24,) i32
     qb0 = jnp.stack(
         [(qwords >> (8 * i)) & 0xFF for i in range(4)], axis=-1
-    ).reshape(96).astype(jnp.float32)
+    ).reshape(6, 16)[:, jnp.asarray(PERM_Q, jnp.int32)]   # SPLIT -> slot
+    qb0 = qb0.reshape(96).astype(jnp.float32)
     ptrs0 = row0_i[32:48][None, :]                               # (1, 16)
 
     def slab(anchor, scale, qlo, qhi, t_cap):
