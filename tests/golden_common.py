@@ -1,0 +1,183 @@
+"""Shared machinery for the golden-image regression fixtures.
+
+The reference's only regression net is its 15 example scenes rendered by
+hand (SURVEY.md §4 — `Assets/Examples/Scenes/` ARE its manual golden
+fixtures).  Here each builtin example scene gets a COMMITTED golden:
+the per-pixel mean over K independent fixed-seed passes plus the
+per-pixel std of those pass means, rendered with the production fused
+config on CPU.  The regression test renders fresh passes under disjoint
+seeds and z-tests them against the stored mean/std — energy-preserving
+radiometric bugs (a flipped MIS weight, a wrong lobe pdf) shift means by
+many sigma in the affected regions, while Monte-Carlo noise and harmless
+reorderings (FMA, association) stay inside.
+
+Regenerate after INTENDED radiometric changes with::
+
+    python -m tests.golden_gen            # all scenes
+    python -m tests.golden_gen cornell    # one scene
+
+Generation cross-checks the fused mean against the independent
+megakernel integrator (different RNG pairing, different traversal code)
+so a fused-path bug cannot silently bake itself into the fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import tests.conftest  # noqa: F401  (CPU backend)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+SIZE = 64
+SPP = 32          # samples per pass
+K_PASSES = 8      # independent passes in the stored fixture
+GEN_SEED_BASE = 1000   # seed_roots used by the fixture
+TEST_SEED_BASE = 7000  # disjoint seed_roots used by the regression test
+
+# All builtin example scenes (models/examples.py EXAMPLES).
+SCENES = ["cornell", "quad", "texture", "lights", "rect_lights",
+          "aperture", "brdf", "tlas", "sponza_like"]
+
+
+def build_scene(name):
+    """(scene_data, config, params, npix) for a golden render of `name`."""
+    from unity_webgpu_pathtracer_tpu.config import RenderConfig
+    from unity_webgpu_pathtracer_tpu.models.examples import EXAMPLES
+    from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+
+    scene, cam, overrides = EXAMPLES[name]()
+    overrides = dict(overrides)
+    overrides.pop("traversal", None)
+    overrides.setdefault("has_lights", bool(scene.lights))
+    overrides.setdefault("has_textures", bool(scene.textures))
+    # The firefly clamp is ON for golden renders: glossy paths to small
+    # bright emitters make some pixels heavy-tailed (rect_lights measured
+    # per-pass means of [1.33, 0.36, 0.44, 0.06, 0.06, 0.07] at ONE pixel
+    # across seeds — the z-test's normality assumption fails there, and
+    # two unbiased integrators legitimately "disagree" by 5x on any
+    # finite sample).  Clamping (a product feature, PathTracer.cs:31 /
+    # pathtrace.hlsl:79-84, applied identically by both integrators)
+    # light-tails the estimator so per-pixel statistics are valid;
+    # radiometric bugs still shift clamped means.
+    config = RenderConfig(
+        width=SIZE, height=SIZE, samples_per_pass=SPP, max_bounces=4,
+        traversal="wide16", integrator="fused", pool_size=4096,
+        use_firefly_filter=True,
+        **overrides,
+    )
+    scene_data = scene.build(config.traversal)
+    # Clamp at luminance 2: the fixture is a regression STATISTIC, not a
+    # beauty render.  rect_lights pixels whose mean is carried by
+    # p~0.003 events of radiance 25-45 have ~100% relative sem at any
+    # affordable pass count — no per-pixel test works on the unclamped
+    # estimator (measured: two unbiased integrators "disagreeing" 5x).
+    # A hard clamp applied identically by both integrators and both test
+    # arms light-tails every pixel; radiometric bugs still shift the
+    # clamped means (only bugs confined to >2-luminance paths escape,
+    # and the furnace/property tests cover energy).
+    params = make_camera_params(width=SIZE, height=SIZE, **cam,
+                                max_firefly_luminance=np.float32(2.0))
+    return scene_data, config, params
+
+
+def render_pass_means(name, seed_roots) -> np.ndarray:
+    """(len(seed_roots), SIZE, SIZE, 3) independent per-pass mean images."""
+    import dataclasses
+
+    import jax
+
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    scene_data, config, params = build_scene(name)
+    step = jax.jit(fused_pass_with_stats, static_argnums=(1,),
+                   static_argnames=("pool_size",))
+    out = []
+    for s in seed_roots:
+        p = dataclasses.replace(params, seed_root=np.uint32(s))
+        film, _occ, _rays, _arr = step(scene_data, config, p, 0,
+                                       pool_size=config.pool_size)
+        out.append(np.asarray(film).reshape(SIZE, SIZE, 3) / SPP)
+    return np.stack(out)
+
+
+def megakernel_mean(name, seed_roots) -> np.ndarray:
+    """Cross-check estimator: independent integrator + traversal code."""
+    import dataclasses
+
+    import jax
+
+    from unity_webgpu_pathtracer_tpu.render.integrator import render_pass
+
+    scene_data, config, params = build_scene(name)
+    config = dataclasses.replace(config, integrator="megakernel")
+    step = jax.jit(render_pass, static_argnums=(1,))
+    acc = None
+    for s in seed_roots:
+        p = dataclasses.replace(params, seed_root=np.uint32(s))
+        film = np.asarray(step(scene_data, config, p, 0))
+        acc = film if acc is None else acc + film
+    return (acc / (len(seed_roots) * SPP)).reshape(SIZE, SIZE, 3)
+
+
+def golden_path(name):
+    return os.path.join(GOLDEN_DIR, f"{name}.npz")
+
+
+def load_golden(name):
+    d = np.load(golden_path(name))
+    return dict(mean=d["mean"], std=d["std"], lmean=d["lmean"],
+                lstd=d["lstd"], spp=int(d["spp"]), k=int(d["k"]))
+
+
+def dual_flags(passes_new: np.ndarray, g: dict,
+               z_thresh: float = 6.0):
+    """Per-pixel flags combining a RAW-mean z-test with a LOG1P-domain one.
+
+    A pixel counts as drifted only when BOTH tests flag it:
+
+    * the raw test is sensitive on stable pixels (deterministic walls,
+      direct emission) where sem is tiny and a 1-2% shift is many sigma;
+    * the log test compresses fireflies — on heavy-tailed pixels (glossy
+      paths to an emission-12 panel; rect_lights measured mk passes of
+      [1.33, 0.36, 0.44, 0.06, 0.06, 0.07] at ONE pixel between two
+      unbiased estimators) a rare bright event explodes the raw z but
+      moves log1p by a bounded amount absorbed by the stored log-domain
+      std.
+
+    A real radiometric bug (flipped MIS weight, wrong pdf) shifts the
+    DISTRIBUTION, so both tests fire together.
+    """
+    n_new = passes_new.shape[0]
+    k = g["k"]
+    mean_new = passes_new.mean(axis=0)
+    lmean_new = np.log1p(np.maximum(passes_new, 0.0)).mean(axis=0)
+
+    floor = np.maximum(g["std"], np.percentile(g["std"], 25))
+    sem = floor * np.sqrt(1.0 / k + 1.0 / n_new)
+    bad_raw = np.abs(mean_new - g["mean"]) > z_thresh * sem + 2e-3
+
+    lfloor = np.maximum(g["lstd"], np.percentile(g["lstd"], 25))
+    lsem = lfloor * np.sqrt(1.0 / k + 1.0 / n_new)
+    bad_log = np.abs(lmean_new - g["lmean"]) > z_thresh * lsem + 5e-3
+
+    return bad_raw & bad_log, mean_new
+
+
+def compare_to_golden(passes_new: np.ndarray, name: str,
+                      z_thresh: float = 6.0, frac_limit: float = 0.005):
+    """Statistical regression check of fresh passes against the fixture.
+
+    ``passes_new``: (n, H, W, 3) independent per-pass mean images.
+    Fails when >frac_limit of pixels drift (dual raw+log z-test) or the
+    image mean shifts >1% (catches uniform gain bugs the per-pixel
+    threshold absorbs).
+    """
+    g = load_golden(name)
+    bad, mean_new = dual_flags(passes_new, g, z_thresh)
+    bad_fraction = float(bad.mean())
+    denom = max(float(np.abs(g["mean"]).mean()), 1e-6)
+    mean_shift_rel = float(np.abs(mean_new.mean() - g["mean"].mean())) / denom
+    ok = bad_fraction <= frac_limit and mean_shift_rel < 0.01
+    return ok, dict(bad_fraction=bad_fraction, mean_shift_rel=mean_shift_rel)

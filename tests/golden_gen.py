@@ -1,0 +1,90 @@
+"""Generate the committed golden-image fixtures (see golden_common.py).
+
+Usage::
+
+    python -m tests.golden_gen            # all scenes
+    python -m tests.golden_gen cornell tlas
+
+For every scene: renders K_PASSES independent fixed-seed passes with the
+production fused config, cross-checks the mean against the megakernel
+integrator (independent RNG pairing and traversal code — a fused-path
+bug cannot silently become the fixture), and writes
+``tests/golden/<name>.npz`` (mean, per-pass std, meta) plus a tonemapped
+PNG preview for humans.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from tests.golden_common import (
+    GEN_SEED_BASE,
+    GOLDEN_DIR,
+    K_PASSES,
+    SCENES,
+    SIZE,
+    SPP,
+    golden_path,
+    megakernel_mean,
+    render_pass_means,
+)
+
+
+def generate(name: str) -> None:
+    print(f"[golden] {name}: {K_PASSES} passes x {SPP} spp @ {SIZE}^2",
+          flush=True)
+    seeds = [GEN_SEED_BASE + i for i in range(K_PASSES)]
+    passes = render_pass_means(name, seeds)
+    mean = passes.mean(axis=0)
+    std = passes.std(axis=0, ddof=1)
+    lp = np.log1p(np.maximum(passes, 0.0))
+    lmean = lp.mean(axis=0)
+    lstd = lp.std(axis=0, ddof=1)
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    np.savez_compressed(golden_path(name), mean=mean.astype(np.float32),
+                        std=std.astype(np.float32),
+                        lmean=lmean.astype(np.float32),
+                        lstd=lstd.astype(np.float32), spp=SPP, k=K_PASSES)
+
+    # Cross-integrator check (same dual raw+log statistic as the
+    # regression test, golden_common.dual_flags): a fused-path bug cannot
+    # silently become the fixture, while heavy-tailed pixels — unbiased
+    # estimators whose rare fireflies land differently (rect_lights
+    # measured megakernel passes of [1.33, 0.36, 0.44, 0.06, 0.06, 0.07]
+    # at one pixel) — are absorbed by the log-domain arm.
+    from tests.golden_common import dual_flags, load_golden
+
+    mk_passes = np.stack([
+        megakernel_mean(name, [GEN_SEED_BASE + 100 + i]) for i in range(4)
+    ])
+    bad, mk_mean = dual_flags(mk_passes, load_golden(name), z_thresh=8.0)
+    bad_frac = float(bad.mean())
+    shift = abs(float(mk_mean.mean() - mean.mean())) / max(float(mean.mean()), 1e-6)
+    print(f"[golden] {name}: mean {mean.mean():.4f}, megakernel agreement "
+          f"bad_frac={bad_frac:.4%} mean_shift={shift:.4%}", flush=True)
+    assert bad_frac < 0.01 and shift < 0.02, (
+        f"{name}: fused and megakernel disagree (bad={bad_frac:.2%}, "
+        f"shift={shift:.2%}) — fix the integrator before regenerating")
+
+    from unity_webgpu_pathtracer_tpu.config import PostParams
+    from unity_webgpu_pathtracer_tpu.post.tonemap import present
+    from unity_webgpu_pathtracer_tpu.utils.image import write_png
+
+    img = np.asarray(present(mean, PostParams(mode=1)))
+    write_png(os.path.join(GOLDEN_DIR, f"{name}.png"),
+              (np.clip(img, 0, 1) * 255).astype(np.uint8))
+
+
+def main(argv):
+    names = argv or SCENES
+    for name in names:
+        generate(name)
+    print("[golden] done")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
