@@ -30,25 +30,45 @@ from tests.golden_common import (
     golden_path,
     megakernel_mean,
     render_pass_means,
+    seed_roots,
 )
 
 
 def generate(name: str) -> None:
     print(f"[golden] {name}: {K_PASSES} passes x {SPP} spp @ {SIZE}^2",
           flush=True)
-    seeds = [GEN_SEED_BASE + i for i in range(K_PASSES)]
+    seeds = seed_roots(GEN_SEED_BASE, K_PASSES)
     passes = render_pass_means(name, seeds)
     mean = passes.mean(axis=0)
     std = passes.std(axis=0, ddof=1)
     lp = np.log1p(np.maximum(passes, 0.0))
     lmean = lp.mean(axis=0)
     lstd = lp.std(axis=0, ddof=1)
+    # Per-pass global means: the test's mean-shift gate is a z-test
+    # against this spread (pixels within a pass are RNG-correlated, so
+    # the global mean's sem is ~1%, not mean(std)/sqrt(npix)).
+    gmeans = passes.mean(axis=(1, 2, 3))
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     np.savez_compressed(golden_path(name), mean=mean.astype(np.float32),
                         std=std.astype(np.float32),
                         lmean=lmean.astype(np.float32),
-                        lstd=lstd.astype(np.float32), spp=SPP, k=K_PASSES)
+                        lstd=lstd.astype(np.float32), spp=SPP, k=K_PASSES,
+                        gmeans=gmeans.astype(np.float64), noise_bad=0.0)
+
+    # Held-out calibration: the per-pixel arm's false-positive rate on
+    # CLEAN passes from an unseen seed family (heavy-tailed scenes flag
+    # ~2% between clean unbiased runs; smooth scenes ~0.01%).  Stored as
+    # `noise_bad`; the test gates at 3x this + 0.5% absolute.
+    from tests.golden_common import (N_TEST_PASSES, VAL_SEED_BASE,
+                                     compare_to_golden)
+
+    val = render_pass_means(name, seed_roots(VAL_SEED_BASE, N_TEST_PASSES))
+    _ok, val_stats = compare_to_golden(val, name)
+    noise_bad = val_stats["bad_fraction"]
+    d = dict(np.load(golden_path(name)))
+    d["noise_bad"] = noise_bad
+    np.savez_compressed(golden_path(name), **d)
 
     # Cross-integrator check (same dual raw+log statistic as the
     # regression test, golden_common.dual_flags): a fused-path bug cannot
@@ -59,7 +79,8 @@ def generate(name: str) -> None:
     from tests.golden_common import dual_flags, load_golden
 
     mk_passes = np.stack([
-        megakernel_mean(name, [GEN_SEED_BASE + 100 + i]) for i in range(4)
+        megakernel_mean(name, [GEN_SEED_BASE + 100 + i * 1000003])
+        for i in range(4)
     ])
     bad, mk_mean = dual_flags(mk_passes, load_golden(name), z_thresh=8.0)
     bad_frac = float(bad.mean())
