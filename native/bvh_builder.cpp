@@ -1105,14 +1105,18 @@ extern "C" int build_wide8(const float* positions, const float* tri_records,
 namespace {
 
 struct Wide16Emitter {
-  static constexpr int W = 16;
-  static constexpr int ROWF = 96;
+  static constexpr int W = 16;   // children per inner node (both variants)
   // Takes the BVH2 by (nodes, order) so both the binned Builder and the
   // SBVH builder can feed it.  With SBVH, `order` is a reference list:
   // entries are original triangle ids and may repeat across leaves.
   const std::vector<Node2>& bnodes;
   const std::vector<int>& border;
   const float* recs;   // (F,9) [e2,e1,v0] in ORIGINAL triangle order
+  // leaf8 variant (accel/wide16.py ROW8): 48-float rows, 8 triangle slots
+  // per leaf (9x8 f16 at [4:40], attr idx at [40:48]); inner rows use
+  // words 0..47 identically in both widths.
+  int LEAF = 16;       // triangle slots per leaf row (16 or 8)
+  int ROWF = 96;       // floats per row (96 or 48)
   std::vector<int> sstart, scount;
   std::vector<float> rows;
   int max_depth = 0;
@@ -1149,6 +1153,7 @@ struct Wide16Emitter {
     // SBVH subtrees merged into one leaf row can reference the same
     // triangle from several fragments; pack each triangle once.
     int packed = 0;
+    const int half = LEAF / 2;
     for (int j = 0; j < cnt; ++j) {
       int t = border[lo + j];
       bool dup = false;
@@ -1156,10 +1161,11 @@ struct Wide16Emitter {
         if (border[idx[k]] == t) { dup = true; break; }
       if (dup) continue;
       const float* r = recs + (size_t)t * 9;
-      // SPLIT halfword order (accel/wide16.py PERM_H_POS): slot s lives
-      // at halfword 2s (s<8) / 2(s-8)+1 — word w carries slots (w, w+8)
-      // so the Pallas decode's lo/hi blocks come out slot-ordered.
-      const int hpos = packed < 8 ? 2 * packed : 2 * (packed - 8) + 1;
+      // SPLIT halfword order (accel/wide16.py PERM_H_POS / PERM_H8_POS):
+      // slot s lives at halfword 2s (s<half) / 2(s-half)+1 — word w
+      // carries slots (w, w+half) so the Pallas decode's lo/hi blocks
+      // come out slot-ordered.
+      const int hpos = packed < half ? 2 * packed : 2 * (packed - half) + 1;
       for (int c = 0; c < 9; ++c) {
         float v = r[c];
         if (c >= 6) v -= row[c - 6];
@@ -1170,19 +1176,22 @@ struct Wide16Emitter {
     }
     int32_t meta = packed;
     std::memcpy(row + 3, &meta, 4);
-    std::memcpy(row + 4, halves, 9 * W * 2);
-    std::memcpy(row + 76, idx, W * 4);
+    // halves is laid out [9][W]; with LEAF==8 only the first 8 halfwords
+    // of each comp are live — copy comp-by-comp at the packed stride.
+    for (int c = 0; c < 9; ++c)
+      std::memcpy(row + 4 + c * (LEAF / 2), halves[c], (size_t)LEAF * 2);
+    std::memcpy(row + 4 + 9 * (LEAF / 2), idx, (size_t)LEAF * 4);
     return my;
   }
 
   int emit(int node, int depth) {
     max_depth = std::max(max_depth, depth);
-    if (scount[node] <= W) return emit_leaf(node);
+    if (scount[node] <= LEAF) return emit_leaf(node);
     int my = (int)(rows.size() / ROWF);
     new_row();
 
-    // Greedy SA collapse to <= 16 children; subtrees with <= 16 tris stay
-    // whole (one leaf row each).
+    // Greedy SA collapse to <= 16 children; subtrees with <= LEAF tris
+    // stay whole (one leaf row each).
     int kids[W];
     int nk = 0;
     const Node2& nd = bnodes[node];
@@ -1193,7 +1202,7 @@ struct Wide16Emitter {
       float best = -1.f;
       for (int i = 0; i < nk; ++i) {
         int k = kids[i];
-        if (bnodes[k].count == 0 && scount[k] > W) {
+        if (bnodes[k].count == 0 && scount[k] > LEAF) {
           float a = area(bnodes[k].lo, bnodes[k].hi);
           if (a > best) { best = a; grow = i; }
         }
@@ -1272,12 +1281,13 @@ struct Wide16Emitter {
 // `out_order` receives the leaf reference list (original triangle ids,
 // duplicates allowed under SBVH); its length is written to *out_refs and
 // must fit order_capacity.
-extern "C" int build_wide16_ex(const float* positions, const float* tri_records,
-                               int tri_count, int leaf_size, int quality,
-                               float* out_rows, int row_capacity,
-                               int32_t* out_depth, int32_t* out_order,
-                               int order_capacity, int32_t* out_refs) {
-  if (tri_count <= 0 || leaf_size <= 0 || leaf_size > 16) return -1;
+static int build_wide16_impl(const float* positions, const float* tri_records,
+                             int tri_count, int leaf_size, int quality,
+                             int leaf_slots, float* out_rows,
+                             int row_capacity, int32_t* out_depth,
+                             int32_t* out_order, int order_capacity,
+                             int32_t* out_refs) {
+  if (tri_count <= 0 || leaf_size <= 0 || leaf_size > leaf_slots) return -1;
   std::vector<Node2> bnodes;
   std::vector<int> border;
   if (quality >= 1) {
@@ -1293,9 +1303,11 @@ extern "C" int build_wide16_ex(const float* positions, const float* tri_records,
   }
   if ((int)border.size() > order_capacity) return -1;
   Wide16Emitter em{bnodes, border, tri_records};
+  em.LEAF = leaf_slots;
+  em.ROWF = leaf_slots == 8 ? 48 : 96;
   em.ranges();
   em.emit(0, 1);
-  int n = (int)(em.rows.size() / 96);
+  int n = (int)(em.rows.size() / em.ROWF);
   if (n > row_capacity) return -1;
   std::memcpy(out_rows, em.rows.data(), em.rows.size() * sizeof(float));
   if (out_depth) *out_depth = em.max_depth;
@@ -1303,6 +1315,28 @@ extern "C" int build_wide16_ex(const float* positions, const float* tri_records,
     std::memcpy(out_order, border.data(), border.size() * sizeof(int32_t));
   if (out_refs) *out_refs = (int)border.size();
   return n;
+}
+
+extern "C" int build_wide16_ex(const float* positions, const float* tri_records,
+                               int tri_count, int leaf_size, int quality,
+                               float* out_rows, int row_capacity,
+                               int32_t* out_depth, int32_t* out_order,
+                               int order_capacity, int32_t* out_refs) {
+  return build_wide16_impl(positions, tri_records, tri_count, leaf_size,
+                           quality, 16, out_rows, row_capacity, out_depth,
+                           out_order, order_capacity, out_refs);
+}
+
+// leaf8 variant: 48-float rows, 8-triangle leaves (accel/wide16.py ROW8).
+extern "C" int build_wide16l8_ex(const float* positions,
+                                 const float* tri_records, int tri_count,
+                                 int leaf_size, int quality, float* out_rows,
+                                 int row_capacity, int32_t* out_depth,
+                                 int32_t* out_order, int order_capacity,
+                                 int32_t* out_refs) {
+  return build_wide16_impl(positions, tri_records, tri_count, leaf_size,
+                           quality, 8, out_rows, row_capacity, out_depth,
+                           out_order, order_capacity, out_refs);
 }
 
 extern "C" int build_wide16(const float* positions, const float* tri_records,

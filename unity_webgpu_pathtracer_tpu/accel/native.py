@@ -155,7 +155,8 @@ def native_build_or_none(positions: np.ndarray, leaf_size: int = 4):
 
 
 def native_wide16_or_none(positions: np.ndarray, tri_records: np.ndarray,
-                          leaf_size: int = 4, quality: int = 0):
+                          leaf_size: int = 4, quality: int = 0,
+                          leaf8: bool = False):
     """Native wide16 build; returns (rows (N,96) f32, depth, order) or None.
 
     ``quality``: 0 = binned SAH, 1 = SBVH spatial splits (the reference's
@@ -163,12 +164,16 @@ def native_wide16_or_none(positions: np.ndarray, tri_records: np.ndarray,
     is a *reference list* — original triangle ids, length >= tri count,
     duplicates allowed — and the host must permute attribute tables by it
     (fancy indexing with repeats does exactly that).
+
+    ``leaf8`` selects the 48-float-row / 8-triangle-leaf variant
+    (``build_wide16l8_ex``; accel.wide16 ROW8 layout) and returns
+    (N,48) rows.
     """
     lib = _load()
     if lib is None:
         return None
     try:
-        fn = lib.build_wide16_ex
+        fn = lib.build_wide16l8_ex if leaf8 else lib.build_wide16_ex
     except AttributeError:
         return None
     fn.restype = ctypes.c_int
@@ -185,8 +190,10 @@ def native_wide16_or_none(positions: np.ndarray, tri_records: np.ndarray,
     # SBVH ref budget is f + f/2 + 64 (bvh_builder.cpp); rows bound follows
     # the refs (transient host memory only).
     order_cap = f + f // 2 + 128
-    cap = max(order_cap // 2 + order_cap // 8 + 64, 16)
-    rows = np.empty((cap, 96), np.float32)
+    row_f = 48 if leaf8 else 96
+    # leaf8 leaves hold half the triangles -> up to ~2x the rows.
+    cap = max(order_cap // 2 + order_cap // 8 + 64, 16) * (2 if leaf8 else 1)
+    rows = np.empty((cap, row_f), np.float32)
     order = np.empty((order_cap,), np.int32)
     depth = ctypes.c_int(0)
     nrefs = ctypes.c_int(0)

@@ -62,10 +62,26 @@ OFF_IDX = 76     # 16 ints
 OFF_W2L = 4
 OFF_BLAS = 16
 
+# ---- leaf8 variant: 48-float rows, 16-wide inner / 8-triangle leaves ----
+# The inner layout above occupies words 0..47 exactly (anchor 3, meta,
+# exps, qbox 24, ptrs 16), so halving the LEAF slot count to 8 (9 comps x
+# 8 f16 = 36 words at 4:40, attr idx x8 at 40:48) packs both kinds into a
+# 48-float row: HALF the node-gather HBM traffic per arrival (the 8
+# per-arrival f32[B,96] gathers were 26% of the super-iteration in the
+# round-15 trace) and HALF the leaf Moller-Trumbore VPU work (46% of the
+# Pallas arrival kernel), traded against ~10-15% more leaf arrivals from
+# splitting 9..16-triangle leaves.  Consumers dispatch on
+# ``nodes.shape[-1]`` (96 = classic, 48 = leaf8); the instance-row layout
+# (w2l at 4:16, blas root at 16) is unchanged and fits either width.
+ROW8 = 48
+LEAF8 = 8
+OFF_IDX8 = 40
 
-def _collapse16(bvh: BVH2, node: int, counts: np.ndarray) -> list[int]:
+
+def _collapse16(bvh: BVH2, node: int, counts: np.ndarray,
+                max_leaf: int = MAX_LEAF) -> list[int]:
     """Greedy 2-wide -> up-to-16-wide collapse: repeatedly expand the child
-    with the largest surface area; subtrees with <= MAX_LEAF triangles stay
+    with the largest surface area; subtrees with <= max_leaf triangles stay
     whole (they become one leaf row)."""
 
     def area(c):
@@ -78,7 +94,7 @@ def _collapse16(bvh: BVH2, node: int, counts: np.ndarray) -> list[int]:
         expandable = [
             (area(c), i)
             for i, c in enumerate(kids)
-            if bvh.left[c] >= 0 and counts[c] > MAX_LEAF
+            if bvh.left[c] >= 0 and counts[c] > max_leaf
         ]
         if not expandable:
             break
@@ -120,13 +136,18 @@ PERM_H_POS = np.array([2 * s if s < 8 else 2 * (s - 8) + 1
                        for s in range(16)])        # slot -> halfword pos
 PERM_H_SLOT = np.argsort(PERM_H_POS)               # halfword pos -> slot
 PERM_Q = np.array([4 * (s % 4) + s // 4 for s in range(16)])  # involution
+# leaf8 halfword order: word w carries (slot w, slot w+4) over 4 words.
+PERM_H8_POS = np.array([2 * s if s < 4 else 2 * (s - 4) + 1
+                        for s in range(8)])
 
 
-def _pack_f16_split(vals16: np.ndarray) -> np.ndarray:
-    """(16,) float -> (8,) float32 words in SPLIT order: word w = slot w
-    (lo half) | slot w+8 (hi half)."""
-    h = _canon_f16(np.asarray(vals16, np.float16))
-    words = h[0:8].astype(np.uint32) | (h[8:16].astype(np.uint32) << 16)
+def _pack_f16_split(vals: np.ndarray) -> np.ndarray:
+    """(2k,) float -> (k,) float32 words in SPLIT order: word w = slot w
+    (lo half) | slot w+k (hi half).  k=8 for classic 16-slot leaves, k=4
+    for leaf8 rows."""
+    h = _canon_f16(np.asarray(vals, np.float16))
+    k = h.shape[0] // 2
+    words = h[0:k].astype(np.uint32) | (h[k:2 * k].astype(np.uint32) << 16)
     return words.view(np.int32).view(np.float32)
 
 
@@ -173,20 +194,23 @@ def _quantize_node(row: np.ndarray, nmin: np.ndarray, nmax: np.ndarray,
     row[OFF_QBOX : OFF_QBOX + 24] = np.concatenate(out)
 
 
-def _leaf_row(row: np.ndarray, nmin, recs: np.ndarray, idx: np.ndarray):
+def _leaf_row(row: np.ndarray, nmin, recs: np.ndarray, idx: np.ndarray,
+              slots: int = WIDTH):
     """recs: (cnt, 9) [e2,e1,v0] float32; v0 stored anchor-relative f16."""
     cnt = recs.shape[0]
     anchor = np.asarray(nmin, np.float32)
     row[0:3] = anchor
     row[OFF_META] = _f32(cnt)
-    comps = np.zeros((9, WIDTH), np.float32)
+    comps = np.zeros((9, slots), np.float32)
     comps[:, :cnt] = recs.T
     comps[6:9, :cnt] -= anchor[:, None]          # v0 relative to anchor
     packed = [_pack_f16_split(comps[c]) for c in range(9)]
-    row[OFF_TRIS : OFF_TRIS + 72] = np.concatenate(packed)
-    ints = np.full(WIDTH, -1, np.int32)
+    nw = 9 * slots // 2
+    row[OFF_TRIS : OFF_TRIS + nw] = np.concatenate(packed)
+    ints = np.full(slots, -1, np.int32)
     ints[:cnt] = idx
-    row[OFF_IDX : OFF_IDX + 16] = ints.view(np.float32)
+    off_idx = OFF_IDX if slots == WIDTH else OFF_IDX8
+    row[off_idx : off_idx + slots] = ints.view(np.float32)
 
 
 @dataclasses.dataclass
@@ -199,8 +223,13 @@ class Wide16:
 
 
 def build_wide16(bvh: BVH2, tri_records: np.ndarray,
-                 attr_index: np.ndarray) -> Wide16:
-    """Emit the quantized 16-wide table from a BVH2 (single mesh/scene)."""
+                 attr_index: np.ndarray, leaf8: bool = False) -> Wide16:
+    """Emit the quantized 16-wide table from a BVH2 (single mesh/scene).
+
+    ``leaf8=True`` emits the 48-float-row variant (8-triangle leaves,
+    identical inner layout) — see the ROW8 block comment above."""
+    row_f = ROW8 if leaf8 else ROW
+    max_leaf = LEAF8 if leaf8 else MAX_LEAF
     starts, counts = _subtree_ranges(bvh)
     rows: list[np.ndarray] = []
     max_depth = 0
@@ -211,23 +240,23 @@ def build_wide16(bvh: BVH2, tri_records: np.ndarray,
 
     def emit_leaf(node: int) -> int:
         my = len(rows)
-        row = np.zeros(ROW, np.float32)
+        row = np.zeros(row_f, np.float32)
         rows.append(row)
         lo, cnt = int(starts[node]), int(counts[node])
         sel = bvh.order[lo : lo + cnt]
         _leaf_row(row, bvh.nmin[node], tri_records[sel],
-                  attr_index[lo : lo + cnt])
+                  attr_index[lo : lo + cnt], slots=max_leaf)
         return my
 
     def emit(node: int, depth: int) -> int:
         nonlocal max_depth
         max_depth = max(max_depth, depth)
-        if counts[node] <= MAX_LEAF:
+        if counts[node] <= max_leaf:
             return emit_leaf(node)
         my = len(rows)
-        row = np.zeros(ROW, np.float32)
+        row = np.zeros(row_f, np.float32)
         rows.append(row)
-        kids = _collapse16(bvh, node, counts)
+        kids = _collapse16(bvh, node, counts, max_leaf)
         # Nearest-first ordering is computed at runtime from slab-entry t,
         # so slots carry no octant code — plain surface-area order.
         slots = sorted(kids, key=sa, reverse=True) + [None] * (WIDTH - len(kids))
@@ -347,7 +376,8 @@ def derive_top16(nodes: np.ndarray) -> np.ndarray | None:
 
 
 def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
-                       leaf_size: int = 4, quality: int | None = None) -> Wide16:
+                       leaf_size: int = 4, quality: int | None = None,
+                       leaf8: bool | None = None) -> Wide16:
     """``quality`` 1 (default) = SBVH spatial splits in the native builder
     (tinybvh ``BuildHQ`` family — fewer overlapping nodes, fewer arrivals
     per ray); 0 = plain binned SAH.  The numpy fallback is always binned.
@@ -355,6 +385,10 @@ def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
     count, duplicate triangle ids allowed); hosts permute attribute tables
     by it, which handles repeats naturally.  ``UWPT_BVH_QUALITY`` overrides
     the default (A/B harness knob).
+
+    ``leaf8`` selects the 48-float-row variant (8-triangle leaves, half
+    the gather traffic and leaf VPU work per arrival — see the ROW8 block
+    comment); ``UWPT_WIDE16_LEAF8`` overrides the default.
     """
     import os
 
@@ -362,22 +396,27 @@ def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
 
     if quality is None:
         quality = int(os.environ.get("UWPT_BVH_QUALITY", "1"))
+    if leaf8 is None:
+        leaf8 = os.environ.get("UWPT_WIDE16_LEAF8", "0") == "1"
     native = native_wide16_or_none(positions, tri_records, leaf_size,
-                                   quality=quality)
+                                   quality=quality, leaf8=leaf8)
     if native is not None:
         rows, depth, order = native
         assert depth < MAX_DEPTH, f"tree depth {depth} >= {MAX_DEPTH}"
         return Wide16(nodes=rows, depth=depth, order=order)
     bvh = build_bvh2(positions, leaf_size=leaf_size)
     attr_index = np.arange(positions.shape[0], dtype=np.int32)
-    return build_wide16(bvh, tri_records, attr_index)
+    return build_wide16(bvh, tri_records, attr_index, leaf8=leaf8)
 
 
 # ---------------------------------------------------------------------- TLAS
-def emit_tlas_rows16(instances, blas_bounds, blas_root: dict, tlas_cap: int):
+def emit_tlas_rows16(instances, blas_bounds, blas_root: dict, tlas_cap: int,
+                     row_f: int = ROW):
     """Emit the 16-wide TLAS rows, zero-padded to ``tlas_cap``.
     Returns (rows, depth, l2w, w2l). Mirrors wide8's
-    ``emit_tlas_rows`` (reference role: ``BVHScene.cs:671-757``)."""
+    ``emit_tlas_rows`` (reference role: ``BVHScene.cs:671-757``).
+    ``row_f`` selects the row width (96 classic / 48 leaf8); instance and
+    inner TLAS rows use only words < 48 either way."""
     ni = len(instances)
     inst_aabb_min = np.zeros((ni, 3), np.float32)
     inst_aabb_max = np.zeros((ni, 3), np.float32)
@@ -407,7 +446,7 @@ def emit_tlas_rows16(instances, blas_bounds, blas_root: dict, tlas_cap: int):
 
     def emit_inst(inst_i: int) -> int:
         my = len(rows)
-        row = np.zeros(ROW, np.float32)
+        row = np.zeros(row_f, np.float32)
         rows.append(row)
         mesh_id = instances[inst_i][0]
         row[OFF_META] = _f32(-(inst_i + 1))
@@ -424,7 +463,7 @@ def emit_tlas_rows16(instances, blas_bounds, blas_root: dict, tlas_cap: int):
         if counts[node] == 1:
             return emit_inst(int(tb.order[starts[node]]))
         my = len(rows)
-        row = np.zeros(ROW, np.float32)
+        row = np.zeros(row_f, np.float32)
         rows.append(row)
         kids = _collapse16(tb, node, counts)
         # Every instance needs its own row: expand inner children fully
@@ -450,7 +489,7 @@ def emit_tlas_rows16(instances, blas_bounds, blas_root: dict, tlas_cap: int):
 
     emit(0, 1)
     assert len(rows) <= tlas_cap, f"TLAS rows {len(rows)} > cap {tlas_cap}"
-    out = np.zeros((tlas_cap, ROW), np.float32)
+    out = np.zeros((tlas_cap, row_f), np.float32)
     out[: len(rows)] = np.stack(rows)
     return out, max_depth[0], l2w, w2l
 
@@ -472,27 +511,33 @@ def build_tlas_wide16(blas: list, blas_bounds, instances,
     offset = cap
     blas_depth = 0
     tables = []
+    row_f = ROW
     for mesh_id in ref_meshes:
         t = np.array(blas[mesh_id].nodes)
+        row_f = t.shape[1]
+        slots = WIDTH if row_f == ROW else LEAF8
+        off_idx = OFF_IDX if row_f == ROW else OFF_IDX8
         meta = t[:, OFF_META].view(np.int32)
         inner = meta == 0
         ptrs = t[:, OFF_PTRS : OFF_PTRS + 16].view(np.int32)
         ptrs[inner] = np.where(ptrs[inner] >= 0, ptrs[inner] + offset, -1)
         t[:, OFF_PTRS : OFF_PTRS + 16] = ptrs.view(np.float32)
         if attr_bases is not None:
-            idx = t[:, OFF_IDX : OFF_IDX + 16].view(np.int32)
+            idx = t[:, off_idx : off_idx + slots].view(np.int32)
             leaf = meta > 0
             idx[leaf] = np.where(
                 idx[leaf] >= 0, idx[leaf] + attr_bases[mesh_id], -1
             )
-            t[:, OFF_IDX : OFF_IDX + 16] = idx.view(np.float32)
+            t[:, off_idx : off_idx + slots] = idx.view(np.float32)
         blas_root[mesh_id] = offset
         blas_depth = max(blas_depth, blas[mesh_id].depth)
         tables.append(t)
         offset += t.shape[0]
+    assert all(t.shape[1] == row_f for t in tables), \
+        "mixed wide16 row widths across BLAS tables"
 
     tlas_rows, tdepth, l2w, w2l = emit_tlas_rows16(
-        instances, blas_bounds, blas_root, cap)
+        instances, blas_bounds, blas_root, cap, row_f=row_f)
     nodes = np.concatenate([tlas_rows] + tables, axis=0)
     depth = tdepth + blas_depth + 1
     assert depth < MAX_DEPTH, f"TLAS+BLAS depth {depth} >= {MAX_DEPTH}"
@@ -503,17 +548,21 @@ def build_tlas_wide16(blas: list, blas_bounds, instances,
 
 # ----------------------------------------------------------------- validation
 def decode_leaf_tris(row: np.ndarray):
-    """Host-side decode of one leaf row -> (cnt, recs (cnt,9), idx (cnt,))."""
+    """Host-side decode of one leaf row -> (cnt, recs (cnt,9), idx (cnt,)).
+    Dispatches on row width (96 = classic 16-slot, 48 = leaf8)."""
+    slots = WIDTH if row.shape[0] == ROW else LEAF8
+    off_idx = OFF_IDX if slots == WIDTH else OFF_IDX8
     cnt = int(row[OFF_META : OFF_META + 1].view(np.int32)[0])
-    words = row[OFF_TRIS : OFF_TRIS + 72].view(np.uint32).reshape(9, 8)
-    # SPLIT slot order: word w = (slot w | slot w+8 << 16).
+    nw = 9 * slots // 2
+    words = row[OFF_TRIS : OFF_TRIS + nw].view(np.uint32).reshape(9, slots // 2)
+    # SPLIT slot order: word w = (slot w | slot w+slots/2 << 16).
     halves = np.concatenate(
         [(words & 0xFFFF).astype(np.uint16), (words >> 16).astype(np.uint16)],
         axis=-1,
-    )                                                   # (9, WIDTH)
+    )                                                   # (9, slots)
     comps = halves.view(np.float16).astype(np.float32)
     comps[6:9] += row[0:3][:, None]
-    idx = row[OFF_IDX : OFF_IDX + 16].view(np.int32)
+    idx = row[off_idx : off_idx + slots].view(np.int32)
     return cnt, comps[:, :cnt].T, idx[:cnt]
 
 

@@ -235,15 +235,17 @@ class RenderConfig:
     pallas_transpose_in_kernel: bool = True
 
     # Thread the (M, 16) paired attr table through the while-loop carry
-    # instead of closing over the jit parameter.  Hypothesis: the round-13
-    # trace shows XLA re-staging the 35 MB table into the gather-friendly
+    # instead of closing over the jit parameter.  The round-13/15 traces
+    # show XLA re-staging the 35 MB table into the gather-friendly
     # {0,1:T(8,128)} layout EVERY super-iteration (copy.126, 0.37 ms/super
-    # = 7% of the pass) because the closed-over param's ABI layout is
+    # = 8% of the pass) because the closed-over param's ABI layout is
     # fixed; an explicit carry lets the layout conversion happen once at
-    # loop entry.  Measured by experiments/round13_attrcarry_ab.py.
+    # loop entry.  Measured +7.4% on the 1M-tri bench (24.07 -> 22.41
+    # s/pass at 64 spp, films bit-identical;
+    # experiments/round13_attrcarry_ab.py) — shipped as default.
     # ONLY applies with ``attr_compact == 2`` (the paired-row layout);
     # under other attr layouts the flag is silently a no-op.
-    attr_carry: bool = False
+    attr_carry: bool = True
 
     # Prestep depth: 2 = root + child-slot select chain; 3 adds a THIRD
     # gather-free level via a bit-exact 3-limb bf16 one-hot MXU matmul over

@@ -55,6 +55,10 @@ def _iota16():
     return jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
 
 
+def _iota(n):
+    return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+
 def _f16_bits_to_f32(bits):
     """Software f16->f32 from int32 arrays holding 16-bit patterns.
 
@@ -78,7 +82,7 @@ def _f16_bits_to_f32(bits):
     return jax.lax.bitcast_convert_type(vb, jnp.float32) * jnp.float32(2.0 ** 112)
 
 
-def _arrival_kernel(transpose_in_kernel, has_inst, *refs):
+def _arrival_kernel(transpose_in_kernel, has_inst, leaf_slots, *refs):
     if has_inst:
         (rowT_ref, oT_ref, dT_ref, invT_ref, live_ref,
          ptr_ref, pend_ref, sp_ref, t_ref, u_ref, v_ref, tri_ref, found_ref,
@@ -176,15 +180,18 @@ def _arrival_kernel(transpose_in_kernel, has_inst, *refs):
     entry_mask = jnp.where(one_left, 0, remaining)
 
     # ---- leaf: f16 anchored triangles, Möller-Trumbore ----
-    # SPLIT halfword order (word w = slot w lo | slot w+8 hi): the decoded
-    # lo/hi (8, BLK) blocks ARE slots 0-7 / 8-15 — one concat per comp
-    # instead of the old 16 single-row interleaves.
+    # SPLIT halfword order (word w = slot w lo | slot w+half hi): the
+    # decoded lo/hi (half, BLK) blocks ARE slots 0..half-1 / half..2half-1
+    # — one concat per comp instead of the old 16 single-row interleaves.
+    # ``leaf_slots`` = 16 for 96-float rows, 8 for 48-float leaf8 rows
+    # (half the decode + Möller-Trumbore VPU work per arrival).
+    half = leaf_slots // 2
     comp = []
     for c in range(9):
-        words = rowT_i[4 + 8 * c : 12 + 8 * c]           # (8, BLK)
+        words = rowT_i[4 + half * c : 4 + half * c + half]  # (half, BLK)
         flo = _f16_bits_to_f32(words & 0xFFFF)
         fhi = _f16_bits_to_f32((words >> 16) & 0xFFFF)
-        comp.append(jnp.concatenate([flo, fhi], axis=0))  # (16, BLK)
+        comp.append(jnp.concatenate([flo, fhi], axis=0))  # (slots, BLK)
     e2x, e2y, e2z, e1x, e1y, e1z, v0x, v0y, v0z = comp
     v0x = v0x + rowT[0][None, :]
     v0y = v0y + rowT[1][None, :]
@@ -205,16 +212,17 @@ def _arrival_kernel(transpose_in_kernel, has_inst, *refs):
     vv = finv * (dx * qx + dy * qy + dz * qz)
     tt = finv * (e2x * qx + e2y * qy + e2z * qz)
     valid = (
-        is_leaf[None, :] & (_iota16() < meta[None, :])
+        is_leaf[None, :] & (_iota(leaf_slots) < meta[None, :])
         & (jnp.abs(a) > DET_EPS)
         & (uu >= 0.0) & (uu <= 1.0)
         & (vv >= 0.0) & (uu + vv <= 1.0)
         & (tt > T_MIN) & (tt < t0[None, :])
     )
     tt = jnp.where(valid, tt, FAR_PLANE)
-    attrs = rowT_i[76:92]                                # (16, BLK)
+    attrs = (rowT_i[76:92] if leaf_slots == 16
+             else rowT_i[40:48])                         # (slots, BLK)
     best = jnp.argmin(tt, axis=0)
-    onehot_b = _iota16() == best[None, :]
+    onehot_b = _iota(leaf_slots) == best[None, :]
     t_cand = jnp.sum(jnp.where(onehot_b, tt, 0.0), axis=0)
     improved = t_cand < t0
     ot_ref[:] = jnp.where(improved, t_cand, t0)
@@ -324,6 +332,8 @@ def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
         blk //= 2
     assert blk >= MIN_BLK, f"pool {b} has no usable block size"
     depth = s.stack_row.shape[0]
+    row_f = nodes.shape[-1]            # 96 classic / 48 leaf8
+    leaf_slots = 16 if row_f == 96 else 8
     live = s.ptr >= 0
     if active is not None:
         live = live & active
@@ -339,9 +349,9 @@ def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
         return pl.BlockSpec((rows, blk), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    row_spec = (pl.BlockSpec((blk, 96), lambda i: (i, 0),
+    row_spec = (pl.BlockSpec((blk, row_f), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-                if transpose_in_kernel else plane(96))
+                if transpose_in_kernel else plane(row_f))
 
     def cshape(dt=jnp.int32):
         return jax.ShapeDtypeStruct((b,), dt)
@@ -382,7 +392,7 @@ def arrival_step16_pallas(nodes, oT, dT, invT, s: Wide16State, active=None,
 
     outs = pl.pallas_call(
         functools.partial(_arrival_kernel, transpose_in_kernel,
-                          has_instances),
+                          has_instances, leaf_slots),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,

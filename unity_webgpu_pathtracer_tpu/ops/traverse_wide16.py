@@ -30,8 +30,10 @@ import jax.numpy as jnp
 
 from unity_webgpu_pathtracer_tpu.accel.wide16 import (
     MAX_DEPTH,
+    PERM_H8_POS,
     PERM_H_POS,
     PERM_Q,
+    ROW,
 )
 from unity_webgpu_pathtracer_tpu.ops.intersect import DET_EPS, T_MIN
 from unity_webgpu_pathtracer_tpu.utils.math import FAR_PLANE, safe_rcp
@@ -176,12 +178,18 @@ def arrival_step16(nodes, o, d, inv, s: Wide16State, active=None,
     sp = s.sp + push.astype(jnp.int32)
 
     # ---- leaf: decode f16 anchored triangle records, Möller-Trumbore ----
-    # SPLIT halfword order (word w = slots w, w+8): static per-comp column
-    # permutation back to slot order (accel.wide16.PERM_H_POS).
+    # SPLIT halfword order (word w = slots w, w+slots/2): static per-comp
+    # column permutation back to slot order (accel.wide16.PERM_H*_POS).
+    # ``slots`` dispatches on the row width: 96-float rows carry 16
+    # triangle lanes, 48-float leaf8 rows carry 8.
+    slots = 16 if nodes.shape[-1] == ROW else 8
+    nw = 9 * slots // 2
     halves = jax.lax.bitcast_convert_type(
-        row[:, 4:76], jnp.float16).reshape(b, 144).astype(jnp.float32)
-    perm_h = jnp.asarray(PERM_H_POS, jnp.int32)
-    comp = [halves[:, 16 * c : 16 * c + 16][:, perm_h] for c in range(9)]
+        row[:, 4 : 4 + nw], jnp.float16).reshape(b, 2 * nw).astype(jnp.float32)
+    perm_h = jnp.asarray(PERM_H_POS if slots == 16 else PERM_H8_POS,
+                         jnp.int32)
+    comp = [halves[:, slots * c : slots * c + slots][:, perm_h]
+            for c in range(9)]
     e2x, e2y, e2z = comp[0], comp[1], comp[2]
     e1x, e1y, e1z = comp[3], comp[4], comp[5]
     v0x = comp[6] + anchor[:, 0:1]
@@ -202,7 +210,7 @@ def arrival_step16(nodes, o, d, inv, s: Wide16State, active=None,
     qz = sx * e1y - sy * e1x
     vv = finv * (dx * qx + dy * qy + dz * qz)
     tt = finv * (e2x * qx + e2y * qy + e2z * qz)
-    lanes = jnp.arange(16)
+    lanes = jnp.arange(slots)
     cnt = meta
     valid = (
         is_leaf[:, None]
@@ -213,9 +221,9 @@ def arrival_step16(nodes, o, d, inv, s: Wide16State, active=None,
         & (tt > T_MIN) & (tt < s.t[:, None])
     )
     tt = jnp.where(valid, tt, FAR_PLANE)
-    attrs = _i32(row[:, 76:92])
+    attrs = (_i32(row[:, 76:92]) if slots == 16 else _i32(row[:, 40:48]))
     best = jnp.argmin(tt, axis=1)
-    onehot_b = jnp.arange(16, dtype=jnp.int32)[None, :] == best[:, None]
+    onehot_b = jnp.arange(slots, dtype=jnp.int32)[None, :] == best[:, None]
     t_cand = jnp.sum(jnp.where(onehot_b, tt, 0.0), axis=1)
     improved = t_cand < s.t
     t_new = jnp.where(improved, t_cand, s.t)

@@ -678,8 +678,13 @@ def rebuild_tlas_rows(scene: "Scene", fmt: str = "wide8"):
         raise ValueError(
             f"no cached {fmt} two-level build; build({fmt!r}) first")
     _blas, blas_bounds, _parts, _attr_bases = cache
+    kw = {}
+    if fmt == "wide16":
+        # Match the built table's row width (96 classic / 48 leaf8).
+        kw["row_f"] = int(_blas[0].nodes.shape[1])
     rows, tdepth, l2w, w2l = emit_rows(
-        list(scene.instances), blas_bounds, layout.blas_root, layout.tlas_cap)
+        list(scene.instances), blas_bounds, layout.blas_root,
+        layout.tlas_cap, **kw)
     # The device stack was sized at build time (build depth + 4 planes of
     # margin); a transform change must not deepen the TLAS past it.
     if tdepth > layout.tlas_depth0 + 3:
