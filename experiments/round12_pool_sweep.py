@@ -46,15 +46,27 @@ def main():
             use_prestep=True, use_pallas_arrival=True,
         ), pool
 
-    variants = [
-        ("warmup te10 p128k", *cfg(10, 1 << 17)),
-        ("te10 p128k", *cfg(10, 1 << 17)),
-        ("te8  p128k", *cfg(8, 1 << 17)),
-        ("te12 p128k", *cfg(12, 1 << 17)),
-        ("te10 p64k ", *cfg(10, 1 << 16)),
-        ("te12 p64k ", *cfg(12, 1 << 16)),
-        ("te10 p192k", *cfg(10, 3 << 16)),
-    ]
+    import json
+    grid = os.environ.get("GRID")
+    if grid:
+        variants = []
+        first = True
+        for te, pool in json.loads(grid):
+            name = f"te{te} p{pool//1024}k"
+            if first:
+                variants.append((f"warmup {name}", *cfg(te, pool)))
+                first = False
+            variants.append((name, *cfg(te, pool)))
+    else:
+        variants = [
+            ("warmup te10 p128k", *cfg(10, 1 << 17)),
+            ("te10 p128k", *cfg(10, 1 << 17)),
+            ("te8  p128k", *cfg(8, 1 << 17)),
+            ("te12 p128k", *cfg(12, 1 << 17)),
+            ("te10 p64k ", *cfg(10, 1 << 16)),
+            ("te12 p64k ", *cfg(12, 1 << 16)),
+            ("te10 p192k", *cfg(10, 3 << 16)),
+        ]
     for name, config, pool in variants:
         @jax.jit
         def one_pass(sd, params, cs, config=config, pool=pool):

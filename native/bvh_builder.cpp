@@ -25,7 +25,10 @@
 #include <cfloat>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <array>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -1104,6 +1107,108 @@ extern "C" int build_wide8(const float* positions, const float* tri_records,
 // ---------------------------------------------------------------------------
 namespace {
 
+// SAH-optimal 16-wide collapse (Ylitie/Karras/Laine 2017 Sec. 3, adapted
+// to this machine's cost model: EVERY arrival -- inner or leaf -- costs
+// one fixed-price row gather + kernel wave, and a leaf row's 16 MT slots
+// are pre-paid whether occupied or not.  The objective is therefore the
+// SA-weighted expected ARRIVAL count: c_leaf = one arrival for any leaf
+// of <= LEAF refs (merging small sibling subtrees into one fuller leaf is
+// free), c_node = one arrival per visited inner row.  The greedy
+// largest-area collapse this replaces measured fan-out 4.8/16 and leaf
+// fill 11.1/16 on the 1M-tri bench scene.
+//
+// Tables per BVH2 node:
+//   cdist[i] (i>=2): best cost of splitting the subtree into 2..i roots
+//                    distributed over the two BVH2 children (full costs).
+//   cfull[i]:        best cost as <= i roots; cfull[1] = min(leaf-able,
+//                    wrap into one wide node at c_node*A + cdist[W]).
+// Reconstruction: a wide node's children = the ddist[W] split (always a
+// true 2-way distribute, so no self-reference); parents expand
+// forest(v, i) by cfull's winner at budget i.
+struct Collapse16DP {
+  static constexpr int W = 16;
+  const std::vector<Node2>& bn;
+  const std::vector<int>& scount;
+  int LEAF;
+  float c_node = 1.0f, c_leaf = 1.0f;
+  std::vector<std::array<float, W + 1>> cfull, cdist;
+  std::vector<std::array<int8_t, W + 1>> ddist;  // j of best (j, i-j) split
+  std::vector<int8_t> dsingle;                   // cfull[1]: 0 leaf, 1 wrap
+
+  void run() {
+    int n = (int)bn.size();
+    cfull.resize(n);
+    cdist.resize(n);
+    ddist.resize(n);
+    dsingle.resize(n);
+    std::vector<int> st, order;
+    st.push_back(0);
+    order.reserve(n);
+    while (!st.empty()) {
+      int v = st.back();
+      st.pop_back();
+      order.push_back(v);
+      if (bn[v].count == 0) {
+        st.push_back(bn[v].left);
+        st.push_back(bn[v].left + 1);
+      }
+    }
+    for (int k = (int)order.size() - 1; k >= 0; --k) compute(order[k]);
+  }
+
+  void compute(int v) {
+    float a = area(bn[v].lo, bn[v].hi);
+    auto& cf = cfull[v];
+    if (bn[v].count > 0) {
+      // BVH2 leaf (count <= leaf_size <= LEAF): only a leaf row.
+      for (int i = 1; i <= W; ++i) cf[i] = c_leaf * a;
+      dsingle[v] = 0;
+      for (int i = 2; i <= W; ++i) { cdist[v][i] = 1e30f; ddist[v][i] = 1; }
+      return;
+    }
+    int l = bn[v].left, r = l + 1;
+    auto& cd = cdist[v];
+    auto& dd = ddist[v];
+    for (int i = 2; i <= W; ++i) {
+      cd[i] = 1e30f;
+      dd[i] = 1;
+      for (int j = 1; j < i; ++j) {
+        float s = cfull[l][j] + cfull[r][i - j];
+        if (s < cd[i]) { cd[i] = s; dd[i] = (int8_t)j; }
+      }
+      if (cd[i - 1] < cd[i] && i > 2) { cd[i] = cd[i - 1]; dd[i] = dd[i - 1]; }
+    }
+    float wrap = c_node * a + cd[W];
+    int8_t ds = 1;
+    if (scount[v] <= LEAF) {
+      float lf = c_leaf * a;
+      if (lf <= wrap) { wrap = lf; ds = 0; }
+    }
+    cf[1] = wrap;
+    dsingle[v] = ds;
+    for (int i = 2; i <= W; ++i) cf[i] = std::min(cf[1], cd[i]);
+  }
+
+  // Forest roots for (v, budget i): (bvh2 node, kind 0=leaf row 1=wide).
+  void forest(int v, int i, std::vector<std::pair<int, int>>& out) const {
+    if (i <= 1 || bn[v].count > 0 || cfull[v][1] <= cdist[v][i]) {
+      out.push_back({v, (int)dsingle[v]});
+      return;
+    }
+    int j = ddist[v][i];
+    forest(bn[v].left, j, out);
+    forest(bn[v].left + 1, i - j, out);
+  }
+
+  // Children of a node emitted AS a wide inner row: always the ddist[W]
+  // distribute (never the single-root option, which would self-refer).
+  void children(int v, std::vector<std::pair<int, int>>& out) const {
+    int j = ddist[v][W];
+    forest(bn[v].left, j, out);
+    forest(bn[v].left + 1, W - j, out);
+  }
+};
+
 struct Wide16Emitter {
   static constexpr int W = 16;   // children per inner node (both variants)
   // Takes the BVH2 by (nodes, order) so both the binned Builder and the
@@ -1117,6 +1222,7 @@ struct Wide16Emitter {
   // words 0..47 identically in both widths.
   int LEAF = 16;       // triangle slots per leaf row (16 or 8)
   int ROWF = 96;       // floats per row (96 or 48)
+  const Collapse16DP* dp = nullptr;   // SAH-optimal collapse (else greedy)
   std::vector<int> sstart, scount;
   std::vector<float> rows;
   int max_depth = 0;
@@ -1184,8 +1290,80 @@ struct Wide16Emitter {
     return my;
   }
 
+  int emit_inner_dp(int node, int depth) {
+    int my = (int)(rows.size() / ROWF);
+    new_row();
+    std::vector<std::pair<int, int>> kids;   // (bvh2 node, kind 0=leaf 1=wide)
+    dp->children(node, kids);
+    int nk = (int)kids.size();
+    std::sort(kids.begin(), kids.end(), [&](const auto& a, const auto& c) {
+      return area(bnodes[a.first].lo, bnodes[a.first].hi) >
+             area(bnodes[c.first].lo, bnodes[c.first].hi);
+    });
+
+    const Node2& nd = bnodes[node];
+    float anchor[3] = {nd.lo.x, nd.lo.y, nd.lo.z};
+    float ext[3] = {std::max(nd.hi.x - nd.lo.x, 0.f),
+                    std::max(nd.hi.y - nd.lo.y, 0.f),
+                    std::max(nd.hi.z - nd.lo.z, 0.f)};
+    int e[3];
+    float scale[3];
+    for (int c = 0; c < 3; ++c) {
+      float v = std::max(ext[c] / 255.0f, 1e-30f);
+      e[c] = (int)std::ceil(std::log2((double)v));
+      e[c] = std::min(std::max(e[c], -126), 127);
+      scale[c] = std::ldexp(1.0f, e[c]);
+      if (255.0f * scale[c] < ext[c]) {
+        e[c] = std::min(e[c] + 1, 127);
+        scale[c] = std::ldexp(1.0f, e[c]);
+      }
+    }
+    uint8_t qlo[3][W], qhi[3][W];
+    for (int c = 0; c < 3; ++c)
+      for (int s = 0; s < W; ++s) { qlo[c][s] = 255; qhi[c][s] = 0; }
+    for (int s = 0; s < nk; ++s) {
+      const Node2& cn = bnodes[kids[s].first];
+      float clo[3] = {cn.lo.x, cn.lo.y, cn.lo.z};
+      float chi[3] = {cn.hi.x, cn.hi.y, cn.hi.z};
+      for (int c = 0; c < 3; ++c) {
+        float ql = std::floor((clo[c] - anchor[c]) / scale[c]);
+        float qh = std::ceil((chi[c] - anchor[c]) / scale[c]);
+        qlo[c][s] = (uint8_t)std::min(std::max(ql, 0.f), 255.f);
+        qhi[c][s] = (uint8_t)std::min(std::max(qh, 0.f), 255.f);
+      }
+    }
+    int32_t ptrs[W];
+    for (int s = 0; s < W; ++s) {
+      if (s >= nk) { ptrs[s] = -1; continue; }
+      max_depth = std::max(max_depth, depth + 1);
+      ptrs[s] = kids[s].second == 0 ? emit_leaf(kids[s].first)
+                                    : emit_inner_dp(kids[s].first, depth + 1);
+    }
+    float* row = rows.data() + (size_t)my * ROWF;
+    row[0] = anchor[0]; row[1] = anchor[1]; row[2] = anchor[2];
+    int32_t meta = 0;
+    std::memcpy(row + 3, &meta, 4);
+    int32_t eword = (e[0] + 127) | ((e[1] + 127) << 8) | ((e[2] + 127) << 16);
+    std::memcpy(row + 4, &eword, 4);
+    uint8_t qbytes[96];
+    for (int c = 0; c < 3; ++c)
+      for (int s = 0; s < W; ++s) {
+        const int qpos = 4 * (s % 4) + s / 4;
+        qbytes[c * W + qpos] = qlo[c][s];
+        qbytes[48 + c * W + qpos] = qhi[c][s];
+      }
+    std::memcpy(row + 8, qbytes, 96);
+    std::memcpy(row + 32, ptrs, W * 4);
+    return my;
+  }
+
   int emit(int node, int depth) {
     max_depth = std::max(max_depth, depth);
+    if (dp) {
+      // SAH-optimal path: leaf/inner decided by the DP's i=1 decision.
+      if (dp->dsingle[node] == 0) return emit_leaf(node);
+      return emit_inner_dp(node, depth);
+    }
     if (scount[node] <= LEAF) return emit_leaf(node);
     int my = (int)(rows.size() / ROWF);
     new_row();
@@ -1281,6 +1459,8 @@ struct Wide16Emitter {
 // `out_order` receives the leaf reference list (original triangle ids,
 // duplicates allowed under SBVH); its length is written to *out_refs and
 // must fit order_capacity.
+// quality bits: bit 0 = SBVH spatial splits (else binned SAH); bit 1 =
+// SAH-optimal DP collapse (else greedy largest-area collapse).
 static int build_wide16_impl(const float* positions, const float* tri_records,
                              int tri_count, int leaf_size, int quality,
                              int leaf_slots, float* out_rows,
@@ -1290,7 +1470,7 @@ static int build_wide16_impl(const float* positions, const float* tri_records,
   if (tri_count <= 0 || leaf_size <= 0 || leaf_size > leaf_slots) return -1;
   std::vector<Node2> bnodes;
   std::vector<int> border;
-  if (quality >= 1) {
+  if (quality & 1) {
     SBVHBuilder sb{positions, tri_count, leaf_size};
     sb.build();
     bnodes = std::move(sb.nodes);
@@ -1306,6 +1486,13 @@ static int build_wide16_impl(const float* positions, const float* tri_records,
   em.LEAF = leaf_slots;
   em.ROWF = leaf_slots == 8 ? 48 : 96;
   em.ranges();
+  Collapse16DP dp{bnodes, em.scount, leaf_slots};
+  if (quality & 2) {
+    if (const char* e = std::getenv("UWPT_COLLAPSE_CNODE"))
+      dp.c_node = (float)atof(e);
+    dp.run();
+    em.dp = &dp;
+  }
   em.emit(0, 1);
   int n = (int)(em.rows.size() / em.ROWF);
   if (n > row_capacity) return -1;

@@ -389,6 +389,12 @@ def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
     ``leaf8`` selects the 48-float-row variant (8-triangle leaves, half
     the gather traffic and leaf VPU work per arrival — see the ROW8 block
     comment); ``UWPT_WIDE16_LEAF8`` overrides the default.
+
+    ``UWPT_COLLAPSE=dp|greedy`` selects the wide-collapse strategy in the
+    native builder (quality bit 2): ``dp`` = the SAH-optimal
+    Ylitie-style dynamic program minimizing SA-weighted expected
+    arrivals (fuller leaves, higher fan-out), ``greedy`` = the
+    largest-area expansion.
     """
     import os
 
@@ -396,6 +402,8 @@ def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
 
     if quality is None:
         quality = int(os.environ.get("UWPT_BVH_QUALITY", "1"))
+    if quality in (0, 1) and os.environ.get("UWPT_COLLAPSE", "greedy") == "dp":
+        quality |= 2
     if leaf8 is None:
         leaf8 = os.environ.get("UWPT_WIDE16_LEAF8", "0") == "1"
     native = native_wide16_or_none(positions, tri_records, leaf_size,

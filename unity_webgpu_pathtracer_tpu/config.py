@@ -234,6 +234,14 @@ class RenderConfig:
     # s/pass (+24%, experiments/round10_attr_ab.py).  Films bit-exact.
     pallas_transpose_in_kernel: bool = True
 
+    # Iterate the te arrivals with ONE lax.fori_loop instead of a Python
+    # unroll: the traversal section of the while-body HLO shrinks ~te-x
+    # (compile-wall lever, VERDICT r3 item 5); the runtime kernel sequence
+    # is identical.  Measured on the 1M-tri bench before shipping a
+    # default — XLA layout assignment is structure-sensitive here
+    # (docs/PERFORMANCE.md round-6 "flat body" finding).
+    arrival_fori: bool = False
+
     # Thread the (M, 16) paired attr table through the while-loop carry
     # instead of closing over the jit parameter.  The round-13/15 traces
     # show XLA re-staging the 35 MB table into the gather-friendly

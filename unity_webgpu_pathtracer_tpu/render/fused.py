@@ -1052,13 +1052,26 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         if use_pallas:
             oT, dT, invT = s.trav_o.T, s.trav_d.T, inv.T
             tik = getattr(config, "pallas_transpose_in_kernel", False)
-            for _ in range(te):
-                active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
-                trav = _pa.arrival_step16_pallas(nodes16, oT, dT, invT,
-                                                 trav, active,
-                                                 interpret=_interp,
-                                                 transpose_in_kernel=tik,
-                                                 has_instances=inst_w2l is not None)
+            if getattr(config, "arrival_fori", False):
+                # One arrival in HLO, iterated te times by a fori_loop:
+                # ~te-x smaller traversal graph (compile-wall lever); the
+                # runtime kernel sequence is identical.
+                def te_body(_i, tr):
+                    act = (s.mode != MODE_DEAD) & ~(shadowing & tr.found)
+                    return _pa.arrival_step16_pallas(
+                        nodes16, oT, dT, invT, tr, act, interpret=_interp,
+                        transpose_in_kernel=tik,
+                        has_instances=inst_w2l is not None)
+
+                trav = jax.lax.fori_loop(0, te, te_body, trav)
+            else:
+                for _ in range(te):
+                    active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
+                    trav = _pa.arrival_step16_pallas(nodes16, oT, dT, invT,
+                                                     trav, active,
+                                                     interpret=_interp,
+                                                     transpose_in_kernel=tik,
+                                                     has_instances=inst_w2l is not None)
             stepping = (s.mode != MODE_DEAD) & (s.trav.ptr >= 0)
             trav_done = trav.ptr < 0
         elif use_v16:
