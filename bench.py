@@ -162,12 +162,13 @@ def main():
     scene_data = scene.build(config.traversal, octants=config.bvh_octants)
     build_s = time.time() - t0
     # Honest triangle accounting (cross-round comparability): `tris_unique`
-    # is the flattened input triangle count (one attr row each); `refs` is
-    # the post-SBVH reference count (spatial splits duplicate references,
-    # 987,842 -> ~1.09M on this scene — the r1/r2 vs r3 drift).  Mrays/s is
-    # rays retired, independent of either, but both are recorded so scene
-    # drift across rounds is visible.
-    tris_unique = int(scene_data.attr_material.shape[0])
+    # is the flattened INPUT triangle count; `refs` is the post-SBVH
+    # reference count (spatial splits duplicate references, 987,842 ->
+    # ~1.09M on this scene — the r1/r2 vs r3 drift).  The attr tables are
+    # permuted per-REFERENCE, so both must come from the pre-build
+    # flatten, not from scene_data (r4 fix: the r3 bench reported refs in
+    # both fields).  Mrays/s is rays retired, independent of either.
+    tris_unique = int(scene.flatten().count)
     refs = int(scene_data.tris.shape[0])
     import hashlib
 
