@@ -30,3 +30,21 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # older jax without the knobs
     pass
+
+import pytest  # noqa: E402
+
+# Smoke tier: `pytest -m smoke` = fast first signal (< ~2 min cold, seconds
+# warm).  Modules whose tests build no large jit graph — numpy builders,
+# bit-exact RNG/math checks, IO — are auto-marked; anything `slow` is
+# excluded even inside these modules.
+_SMOKE_MODULES = {
+    "test_rng", "test_math", "test_image", "test_native", "test_bvh",
+    "test_envmap", "test_wide16_leaf8",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SMOKE_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
