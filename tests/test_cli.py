@@ -37,3 +37,20 @@ def test_cli_animate_orbit_bounce(tmp_path):
     a, b = (read_png(f).astype(np.float32) for f in frames)
     # Camera orbited half a turn and instances moved: frames must differ.
     assert np.abs(a - b).max() > 0
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    from unity_webgpu_pathtracer_tpu.compile_cache import enable_compile_cache
+
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xla_cache")
+        assert enable_compile_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        monkeypatch.setenv("UWPT_CACHE", "0")
+        assert enable_compile_cache(str(tmp_path / "other")) is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

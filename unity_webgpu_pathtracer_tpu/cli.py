@@ -213,6 +213,11 @@ def cmd_animate(args):
 
 
 def main(argv=None):
+    # Product entry point: warm starts in seconds instead of a cold XLA
+    # compile (the analogue of Unity's on-disk shader cache).
+    from unity_webgpu_pathtracer_tpu.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="unity_webgpu_pathtracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -278,6 +278,9 @@ def make_handler(viewer: Viewer):
 def serve(viewer: Viewer, host: str = "127.0.0.1", port: int = 8000,
           block: bool = True) -> ThreadingHTTPServer:
     """Start the render loop and the HTTP server (port 0 = ephemeral)."""
+    from unity_webgpu_pathtracer_tpu.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # warm-start recompiles (idempotent, opt-out-able)
     server = ThreadingHTTPServer((host, port), make_handler(viewer))
     viewer.start()
     if block:
