@@ -123,3 +123,33 @@ def test_fused_deterministic():
     r1.render(2)
     r2.render(2)
     np.testing.assert_array_equal(r1.radiance(), r2.radiance())
+
+
+def test_fused_table_carry_parity():
+    """node_carry / env_carry re-stage gather layouts only — films must be
+    bit-identical to the closure-captured tables (the attr_carry
+    contract, extended round 16)."""
+    import jax
+
+    from unity_webgpu_pathtracer_tpu.models.benchmark import million_triangle_scene
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    scene, cam = million_triangle_scene(2_000)
+    sd = scene.build("wide16")
+    params = make_camera_params(width=32, height=32, **cam,
+                                environment_intensity=np.float32(1.0))
+    step = jax.jit(fused_pass_with_stats, static_argnums=(1,),
+                   static_argnames=("pool_size",))
+    films = {}
+    for name, nk, ek in (("base", False, False), ("both", True, True)):
+        config = RenderConfig(
+            width=32, height=32, samples_per_pass=2, max_bounces=3,
+            traversal="wide16", sky_mode=SKY_MODE_ENVIRONMENT,
+            has_environment_texture=True, use_russian_roulette=True,
+            integrator="fused", pool_size=512, transition_every=8,
+            node_carry=nk, env_carry=ek,
+        )
+        film, _occ, rays, _arr = step(sd, config, params, 0, pool_size=512)
+        films[name] = np.asarray(film)
+        assert int(rays) > 0
+    assert (films["both"] == films["base"]).all()

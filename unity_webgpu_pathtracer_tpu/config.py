@@ -255,6 +255,14 @@ class RenderConfig:
     # under other attr layouts the flag is silently a no-op.
     attr_carry: bool = True
 
+    # Same carry-threading for the wide16 node table and the merged env
+    # rows (round-16 trace: with only attr carried, XLA compiles 2 of the
+    # 8 node gathers in a degenerate +20% mode and re-stages the env rows
+    # per super-iteration, copy.117).  node_carry applies to wide16 only;
+    # env_carry to merged-row env maps only (no-ops otherwise).
+    node_carry: bool = False
+    env_carry: bool = False
+
     # Prestep depth: 2 = root + child-slot select chain; 3 adds a THIRD
     # gather-free level via a bit-exact 3-limb bf16 one-hot MXU matmul over
     # the 256 grandchild slots (accel.wide16.derive_top3_limbs) — the

@@ -1045,7 +1045,16 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         # would not compile there).
         _interp = jax.default_backend() != "tpu"
 
-    def body(s: FusedState, attr_pair=None):
+    def body(s: FusedState, attr_pair=None, nodes_c=None, env_rows_c=None):
+        # nodes_c / env_rows_c (config.node_carry / env_carry): the same
+        # tables threaded through the while carry so XLA stages their
+        # gather layouts once at loop entry (the attr_carry pattern; the
+        # round-16 trace shows 2 of 8 node gathers compiling degenerate
+        # +20% and an env-row layout copy when closed over).
+        n16 = nodes_c if nodes_c is not None else (nodes16 if use_v16 else None)
+        sc = scene
+        if env_rows_c is not None:
+            sc = scene._replace(env=scene.env._replace(merged_rows=env_rows_c))
         inv = safe_rcp(s.trav_d)
         shadowing = (s.mode == MODE_SHADOW_ENV) | (s.mode == MODE_SHADOW_LIGHT)
         trav = s.trav
@@ -1059,7 +1068,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
                 def te_body(_i, tr):
                     act = (s.mode != MODE_DEAD) & ~(shadowing & tr.found)
                     return _pa.arrival_step16_pallas(
-                        nodes16, oT, dT, invT, tr, act, interpret=_interp,
+                        n16, oT, dT, invT, tr, act, interpret=_interp,
                         transpose_in_kernel=tik,
                         has_instances=inst_w2l is not None)
 
@@ -1067,7 +1076,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             else:
                 for _ in range(te):
                     active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
-                    trav = _pa.arrival_step16_pallas(nodes16, oT, dT, invT,
+                    trav = _pa.arrival_step16_pallas(n16, oT, dT, invT,
                                                      trav, active,
                                                      interpret=_interp,
                                                      transpose_in_kernel=tik,
@@ -1077,7 +1086,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         elif use_v16:
             for _ in range(te):
                 active = (s.mode != MODE_DEAD) & ~(shadowing & trav.found)
-                trav = tw16.arrival_step16(nodes16, s.trav_o, s.trav_d, inv,
+                trav = tw16.arrival_step16(n16, s.trav_o, s.trav_d, inv,
                                            trav, active,
                                            has_instances=inst_w2l is not None)
             stepping = (s.mode != MODE_DEAD) & (s.trav.ptr >= 0)
@@ -1119,7 +1128,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             busy=s.busy + jnp.sum((s.mode != MODE_DEAD).astype(jnp.int32)),
             ticks=s.ticks + b,
         )
-        s = _transition(scene, config, params, s, budget, current_sample,
+        s = _transition(sc, config, params, s, budget, current_sample,
                         trav_done, entry, shard_t, attr_pair=attr_pair)
         if use_v16 and config.use_prestep:
             # Fresh segments (regen/bounce/NEE shadow) all sit at the root;
@@ -1129,7 +1138,7 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             top3 = (scene.wide16_top3
                     if getattr(config, "prestep_levels", 2) >= 3 else None)
             s = s._replace(trav=tw16.prestep16(
-                nodes16, scene.wide16_top, s.trav_o, s.trav_d,
+                n16, scene.wide16_top, s.trav_o, s.trav_d,
                 safe_rcp(s.trav_d), s.trav, fresh, top3=top3))
         return s
 
@@ -1141,8 +1150,8 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         # measured) — on this platform the only cheap structure is a flat
         # body.  The scatter itself is made cheap by DISTINCT out-of-bounds
         # sentinels instead (see the flush_pix init).
-        def body_flush(s, attr_pair=None):
-            s = body(s, attr_pair=attr_pair)
+        def body_flush(s, **table_kw):
+            s = body(s, **table_kw)
             film = s.film.at[s.flush_pix].add(s.flush_rgb)
             return s._replace(
                 film=film,
@@ -1155,15 +1164,24 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         inner_body = body
     attr_carry = (getattr(config, "attr_carry", False)
                   and int(getattr(config, "attr_compact", 0) or 0) == 2)
+    # Carry-threaded tables: lets XLA stage each table's gather-friendly
+    # layout once at loop entry instead of per super-iteration (attr:
+    # copy.126 in the round-13 trace, 0.37 ms/super; nodes/env: the
+    # round-16 degenerate-gather + copy.117 findings).
+    carry_kw = []
     if attr_carry:
-        # Explicit carry: lets XLA stage the gather-friendly table layout
-        # once at loop entry instead of per super-iteration (copy.126 in
-        # the round-13 trace, 0.37 ms/super).
-        pair0 = scene.attr_shade_c.reshape(-1, 16)
+        carry_kw.append(("attr_pair", scene.attr_shade_c.reshape(-1, 16)))
+    if use_v16 and getattr(config, "node_carry", False):
+        carry_kw.append(("nodes_c", nodes16))
+    if getattr(config, "env_carry", False) and scene.env.merged_rows.shape[0] > 1:
+        carry_kw.append(("env_rows_c", scene.env.merged_rows))
+    if carry_kw:
+        names = tuple(k for k, _ in carry_kw)
+        tabs0 = tuple(v for _, v in carry_kw)
         final, _ = jax.lax.while_loop(
             lambda c: cond(c[0]),
-            lambda c: (inner_body(c[0], attr_pair=c[1]), c[1]),
-            (init, pair0))
+            lambda c: (inner_body(c[0], **dict(zip(names, c[1]))), c[1]),
+            (init, tabs0))
     else:
         final = jax.lax.while_loop(cond, inner_body, init)
     if record_film:
