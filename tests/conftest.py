@@ -8,6 +8,11 @@ TPU hardware.  Must run before the first ``import jax``.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Keep the BVH build cache inside the repo's ignored cache dir (hermetic,
+# and repeated suite runs skip identical host builds).
+os.environ.setdefault(
+    "UWPT_BVH_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache", "bvh"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

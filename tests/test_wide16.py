@@ -358,3 +358,36 @@ def test_wide16_beams_matches_bruteforce(quality):
     rel = np.abs(np.asarray(t16)[both] - np.asarray(tb)[both]) / np.maximum(
         np.asarray(tb)[both], 1e-3)
     assert np.quantile(rel, 0.99) < 5e-3
+
+
+def test_wide16_build_cache_roundtrip(tmp_path, monkeypatch):
+    """The disk cache must return the build BIT-identically (rows hold
+    packed integer fields in NaN space, so compare bits not floats), key
+    on build options, and honor the disable knob."""
+    from unity_webgpu_pathtracer_tpu.accel.wide16 import build_scene_wide16
+
+    monkeypatch.setenv("UWPT_BVH_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("UWPT_BVH_CACHE", raising=False)
+    tris = random_tris(300, seed=7)
+    v0 = tris[:, 0]
+    recs = np.concatenate([tris[:, 2] - v0, tris[:, 1] - v0, v0],
+                          -1).astype(np.float32)
+    a = build_scene_wide16(tris, recs)
+    files0 = sorted(p.name for p in tmp_path.iterdir())
+    assert len(files0) == 1 and files0[0].endswith(".npz")
+    b = build_scene_wide16(tris, recs)  # warm: loaded from disk
+    assert a.depth == b.depth
+    assert (a.order == b.order).all()
+    assert (a.nodes.view(np.uint32) == b.nodes.view(np.uint32)).all()
+    # Different build options must MISS (new key), not collide.
+    c = build_scene_wide16(tris, recs, quality=0)
+    assert len(list(tmp_path.iterdir())) == 2
+    assert c.nodes.shape[-1] == a.nodes.shape[-1]
+    # Disabled: no new files even for a fresh geometry.
+    monkeypatch.setenv("UWPT_BVH_CACHE", "0")
+    tris2 = random_tris(123, seed=8)
+    v0 = tris2[:, 0]
+    recs2 = np.concatenate([tris2[:, 2] - v0, tris2[:, 1] - v0, v0],
+                           -1).astype(np.float32)
+    build_scene_wide16(tris2, recs2)
+    assert len(list(tmp_path.iterdir())) == 2

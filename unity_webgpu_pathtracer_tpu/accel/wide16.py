@@ -406,15 +406,90 @@ def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
         quality |= 2
     if leaf8 is None:
         leaf8 = os.environ.get("UWPT_WIDE16_LEAF8", "0") == "1"
+    cache_path = _bvh_cache_path(positions, tri_records, leaf_size, quality,
+                                 leaf8)
+    if cache_path is not None and os.path.exists(cache_path):
+        try:
+            z = np.load(cache_path)
+            return Wide16(nodes=z["nodes"], depth=int(z["depth"]),
+                          order=z["order"])
+        except Exception:
+            pass  # corrupt/partial file: rebuild and overwrite below
     native = native_wide16_or_none(positions, tri_records, leaf_size,
                                    quality=quality, leaf8=leaf8)
     if native is not None:
         rows, depth, order = native
         assert depth < MAX_DEPTH, f"tree depth {depth} >= {MAX_DEPTH}"
-        return Wide16(nodes=rows, depth=depth, order=order)
-    bvh = build_bvh2(positions, leaf_size=leaf_size)
-    attr_index = np.arange(positions.shape[0], dtype=np.int32)
-    return build_wide16(bvh, tri_records, attr_index, leaf8=leaf8)
+        w = Wide16(nodes=rows, depth=depth, order=order)
+    else:
+        bvh = build_bvh2(positions, leaf_size=leaf_size)
+        attr_index = np.arange(positions.shape[0], dtype=np.int32)
+        w = build_wide16(bvh, tri_records, attr_index, leaf8=leaf8)
+    if cache_path is not None:
+        _bvh_cache_store(cache_path, w)
+    return w
+
+
+# Bump when the emitted row format or builder semantics change so stale
+# cache entries can never be loaded into a newer consumer.
+_BVH_CACHE_VERSION = 1
+
+
+def _bvh_cache_path(positions, tri_records, leaf_size, quality, leaf8):
+    """Content-keyed disk-cache path for built wide16 tables, or None.
+
+    The SBVH+collapse+emit of a 1M-tri scene runs ~5s single-threaded (the
+    reference pays the same in tinybvh and Unity hides it in the Library
+    cache); repeated startups of the same scene load in ~0.2s instead.
+    The key covers every build input: geometry bytes, build options, the
+    builder version, and the native library's identity (size+mtime) since
+    its code determines the output.  ``UWPT_BVH_CACHE=0`` disables;
+    ``UWPT_BVH_CACHE_DIR`` relocates (default
+    ``~/.cache/unity_webgpu_pathtracer_tpu/bvh``).
+    """
+    import hashlib
+    import os
+
+    if os.environ.get("UWPT_BVH_CACHE", "1") == "0":
+        return None
+    cache_dir = os.environ.get("UWPT_BVH_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "unity_webgpu_pathtracer_tpu",
+        "bvh")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        return None
+    from unity_webgpu_pathtracer_tpu.accel.native import _LIB_PATH
+
+    try:
+        st = os.stat(_LIB_PATH)
+        lib_id = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        lib_id = "numpy-fallback"
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(positions, np.float32).tobytes())
+    h.update(np.ascontiguousarray(tri_records, np.float32).tobytes())
+    h.update(f"v{_BVH_CACHE_VERSION}|{leaf_size}|{quality}|{int(leaf8)}|"
+             f"{lib_id}".encode())
+    return os.path.join(cache_dir, f"wide16-{h.hexdigest()}.npz")
+
+
+def _bvh_cache_store(path, w: "Wide16"):
+    import os
+    import tempfile
+
+    try:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
+                                   suffix=".tmp")
+        os.close(fd)
+        np.savez(tmp, nodes=w.nodes, depth=np.int32(w.depth), order=w.order)
+        # np.savez appends .npz to names without it.
+        src = tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp
+        os.replace(src, path)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    except OSError:
+        pass
 
 
 # ---------------------------------------------------------------------- TLAS
