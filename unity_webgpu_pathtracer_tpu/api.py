@@ -41,7 +41,18 @@ def _pass_and_accumulate(scene, config, params, film):
 
 
 class Renderer:
-    def __init__(self, scene, config: RenderConfig, params: RenderParams):
+    def __init__(self, scene, config: RenderConfig, params: RenderParams,
+                 compile_cache: bool = True):
+        if compile_cache:
+            # Warm starts in seconds instead of a cold XLA compile — the
+            # analogue of Unity's on-disk shader cache.  Idempotent;
+            # UWPT_CACHE=0 disables globally, compile_cache=False per
+            # renderer for embedders that manage jax config themselves.
+            from unity_webgpu_pathtracer_tpu.compile_cache import (
+                enable_compile_cache,
+            )
+
+            enable_compile_cache()
         self._host_scene = scene if isinstance(scene, Scene) else None
         if isinstance(scene, Scene):
             scene = scene.build(config.traversal, octants=config.bvh_octants)
