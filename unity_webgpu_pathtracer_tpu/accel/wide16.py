@@ -411,10 +411,13 @@ def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
     if cache_path is not None and os.path.exists(cache_path):
         try:
             z = np.load(cache_path)
-            return Wide16(nodes=z["nodes"], depth=int(z["depth"]),
-                          order=z["order"])
+            w = Wide16(nodes=z["nodes"], depth=int(z["depth"]),
+                       order=z["order"])
+            CACHE_STATS["hit"] += 1
+            return w
         except Exception:
             pass  # corrupt/partial file: rebuild and overwrite below
+    CACHE_STATS["miss"] += 1
     native = native_wide16_or_none(positions, tri_records, leaf_size,
                                    quality=quality, leaf8=leaf8)
     if native is not None:
@@ -434,6 +437,11 @@ def build_scene_wide16(positions: np.ndarray, tri_records: np.ndarray,
 # cache entries can never be loaded into a newer consumer.
 _BVH_CACHE_VERSION = 1
 
+# Observability: build_scene_wide16 counts disk-cache hits/misses here so
+# bench.py can report `bvh_cache` in its JSON artifact (a silent cold
+# cache looked like a 19.8s "regression" in BENCH_r04).
+CACHE_STATS = {"hit": 0, "miss": 0}
+
 
 def _bvh_cache_path(positions, tri_records, leaf_size, quality, leaf8):
     """Content-keyed disk-cache path for built wide16 tables, or None.
@@ -441,9 +449,12 @@ def _bvh_cache_path(positions, tri_records, leaf_size, quality, leaf8):
     The SBVH+collapse+emit of a 1M-tri scene runs ~5s single-threaded (the
     reference pays the same in tinybvh and Unity hides it in the Library
     cache); repeated startups of the same scene load in ~0.2s instead.
-    The key covers every build input: geometry bytes, build options, the
-    builder version, and the native library's identity (size+mtime) since
-    its code determines the output.  ``UWPT_BVH_CACHE=0`` disables;
+    The key covers every build input: geometry bytes, build options, env
+    knobs the native builder reads internally (UWPT_COLLAPSE_CNODE — the
+    DP collapse cost weight, bvh_builder.cpp:1491 — changes the emitted
+    table, so sweeping it with a warm cache must miss), the builder
+    version, and the native library's identity (size+mtime) since its
+    code determines the output.  ``UWPT_BVH_CACHE=0`` disables;
     ``UWPT_BVH_CACHE_DIR`` relocates (default
     ``~/.cache/unity_webgpu_pathtracer_tpu/bvh``).
     """
@@ -452,6 +463,9 @@ def _bvh_cache_path(positions, tri_records, leaf_size, quality, leaf8):
 
     if os.environ.get("UWPT_BVH_CACHE", "1") == "0":
         return None
+    # Every env var bvh_builder.cpp resolves at build time must be part of
+    # the key; grep the C++ for getenv when adding knobs.
+    c_node = os.environ.get("UWPT_COLLAPSE_CNODE", "")
     cache_dir = os.environ.get("UWPT_BVH_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "unity_webgpu_pathtracer_tpu",
         "bvh")
@@ -470,7 +484,7 @@ def _bvh_cache_path(positions, tri_records, leaf_size, quality, leaf8):
     h.update(np.ascontiguousarray(positions, np.float32).tobytes())
     h.update(np.ascontiguousarray(tri_records, np.float32).tobytes())
     h.update(f"v{_BVH_CACHE_VERSION}|{leaf_size}|{quality}|{int(leaf8)}|"
-             f"{lib_id}".encode())
+             f"cnode={c_node}|{lib_id}".encode())
     return os.path.join(cache_dir, f"wide16-{h.hexdigest()}.npz")
 
 

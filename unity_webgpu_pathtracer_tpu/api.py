@@ -45,9 +45,13 @@ class Renderer:
                  compile_cache: bool = True):
         if compile_cache:
             # Warm starts in seconds instead of a cold XLA compile — the
-            # analogue of Unity's on-disk shader cache.  Idempotent;
-            # UWPT_CACHE=0 disables globally, compile_cache=False per
-            # renderer for embedders that manage jax config themselves.
+            # analogue of Unity's on-disk shader cache.  GLOBAL side
+            # effect: sets jax_compilation_cache_dir process-wide, so an
+            # embedding app's unrelated jit compiles are cached too — but
+            # an already-configured cache dir is respected, never
+            # redirected.  Idempotent; UWPT_CACHE=0 disables globally,
+            # compile_cache=False per renderer for embedders that manage
+            # jax config themselves.
             from unity_webgpu_pathtracer_tpu.compile_cache import (
                 enable_compile_cache,
             )

@@ -344,6 +344,11 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
             raise ValueError("attr_compact=3 requires has_textures=False "
                              "and has_normal_maps=False (no uv in the "
                              "oct-normal rows); use attr_compact=2")
+        if scene.materials.shape[0] > 0x10000:
+            raise ValueError("config.attr_compact requires <= 65536 "
+                             "materials (the compact rows store a u16 "
+                             "index; the scene build degraded the table "
+                             "to a placeholder)")
         table = scene.attr_shade_o.reshape(-1, 16)
         quad = table[attr // 4]                             # (B, 16) u32
         sub = attr % 4
@@ -380,6 +385,11 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         # 8 u32 words (scene._pack_attr_shade_c).  Half the table
         # footprint of the f32 rows, which is what random-gather pricing
         # keys on at 1M-tri scale (experiments/round11_attrsort.py).
+        if scene.materials.shape[0] > 0x10000:
+            raise ValueError("config.attr_compact requires <= 65536 "
+                             "materials (the compact rows store a u16 "
+                             "index; the scene build degraded the table "
+                             "to a placeholder)")
         if int(config.attr_compact) == 2:
             # Two triangles per 64-byte row: the gather rides the row
             # width the unit already prices well while keeping the 32 MB

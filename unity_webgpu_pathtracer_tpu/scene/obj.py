@@ -179,7 +179,9 @@ def load_obj(path: str, load_textures: bool = True) -> Scene:
     uvs_a = np.asarray(uvs, np.float32) if uvs else None
 
     # Resolve texture maps once per material (shared across groups).
-    tex_cache: dict[str, int] = {}
+    # Value: (texture_id, had_alpha_mask) — the mask bit must replay the
+    # alpha_mode side effect on every material that binds the texture.
+    tex_cache: dict[str, tuple[int, bool]] = {}
 
     def _tex_for(name: str, desc: MaterialDesc) -> None:
         refs = mtl_maps.get(name)
@@ -187,12 +189,11 @@ def load_obj(path: str, load_textures: bool = True) -> Scene:
             return
         kd_raw = refs.get("kd")
         if kd_raw is not None:
-            if kd_raw in tex_cache:
-                desc.base_color_texture = tex_cache[kd_raw]
-            else:
+            if kd_raw not in tex_cache:
                 p = resolve_map_path(mtl_dir, kd_raw)
                 img = _load_image_rgba(p) if p else None
                 if img is not None:
+                    had_mask = False
                     d_raw = refs.get("d")
                     if d_raw is not None:
                         # Merge the standalone alpha mask into baseColor.a
@@ -201,21 +202,29 @@ def load_obj(path: str, load_textures: bool = True) -> Scene:
                         if mask is not None and mask.shape[:2] == img.shape[:2]:
                             img = img.copy()
                             img[..., 3] = mask[..., 0]
-                            desc.alpha_mode = 2  # mask
-                    tex_cache[kd_raw] = scene.add_texture(img)
-                    desc.base_color_texture = tex_cache[kd_raw]
-                    # White-out the factor: texture carries the color.
-                    desc.base_color = (1.0, 1.0, 1.0, desc.base_color[3])
+                            had_mask = True
+                    tex_cache[kd_raw] = (scene.add_texture(img), had_mask)
+            if kd_raw in tex_cache:
+                # The binding side effects (factor white-out, alpha mode)
+                # apply to EVERY material that binds the texture, not just
+                # the one that loaded it — a second material sharing a
+                # masked map_Kd must render masked and untinted too.
+                tex_id, had_mask = tex_cache[kd_raw]
+                desc.base_color_texture = tex_id
+                desc.base_color = (1.0, 1.0, 1.0, desc.base_color[3])
+                if had_mask:
+                    desc.alpha_mode = 2  # mask
         ke_raw = refs.get("ke")
         if ke_raw is not None:
             p = resolve_map_path(mtl_dir, ke_raw)
-            img = tex_cache.get(ke_raw)
-            if img is None:
+            entry = tex_cache.get(ke_raw)
+            if entry is None:
                 decoded = _load_image_rgba(p) if p else None
                 if decoded is not None:
-                    img = tex_cache[ke_raw] = scene.add_texture(decoded)
-            if img is not None:
-                desc.emission_texture = img
+                    entry = tex_cache[ke_raw] = (scene.add_texture(decoded),
+                                                 False)
+            if entry is not None:
+                desc.emission_texture = entry[0]
 
     for name, faces in groups.items():
         desc = mtl.get(name, MaterialDesc())

@@ -69,10 +69,36 @@ def _pack_attr_shade_c(normals9: np.ndarray, uvs6: np.ndarray,
     h[:t, 0:9] = normals9.astype(np.float16).view(np.uint16)
     h[:t, 9:15] = np.clip(uvs6, -65504, 65504).astype(np.float16).view(np.uint16)
     m = material.astype(np.int64)
-    if m.size and (m.max() > 0xFFFF or m.min() < 0):
-        raise ValueError("attr_compact supports at most 65536 materials")
+    _check_u16_materials(m)
     h[:t, 15] = m.astype(np.uint16)
     return np.ascontiguousarray(h).view(np.uint32)   # (T_pad, 8)
+
+
+class _MaterialRangeError(ValueError):
+    """Material index does not fit the u16 field of a compact attr row."""
+
+
+def _check_u16_materials(m: np.ndarray) -> None:
+    if m.size and (m.max() > 0xFFFF or m.min() < 0):
+        raise _MaterialRangeError(
+            "attr_compact supports at most 65536 materials")
+
+
+def _pack_or_placeholder(pack_fn, placeholder, *args):
+    """Build a compact attr table, degrading to the SceneData placeholder
+    (with a warning) when the material count exceeds the u16 row field —
+    scenes that never render with ``config.attr_compact`` set must not be
+    aborted by a table they will not read.  The fused integrator re-checks
+    at trace time and raises there with a config-level message."""
+    try:
+        return pack_fn(*args)
+    except _MaterialRangeError as e:
+        import warnings
+
+        warnings.warn(f"{e}; compact attr table degraded to placeholder "
+                      "(rendering with config.attr_compact set will fail)",
+                      stacklevel=2)
+        return np.asarray(placeholder)
 
 
 def _sign_not_zero(x: np.ndarray) -> np.ndarray:
@@ -116,8 +142,7 @@ def _pack_attr_shade_o(normals9: np.ndarray, material: np.ndarray) -> np.ndarray
     for v in range(3):
         out[:t, v] = _oct_encode_u32(n[:, v])
     m = material.astype(np.int64)
-    if m.size and (m.max() > 0xFFFF or m.min() < 0):
-        raise ValueError("attr_compact supports at most 65536 materials")
+    _check_u16_materials(m)
     out[:t, 3] = m.astype(np.uint32)
     return np.ascontiguousarray(out)   # (T_pad, 4)
 
@@ -448,9 +473,12 @@ class Scene:
             attr_material=jnp.asarray(flat.material),
             attr_shade=jnp.asarray(_pack_attr_shade(
                 flat.normals.reshape(m, 9), flat.uvs.reshape(m, 6), flat.material)),
-            attr_shade_c=jnp.asarray(_pack_attr_shade_c(
-                flat.normals.reshape(m, 9), flat.uvs.reshape(m, 6), flat.material)),
-            attr_shade_o=jnp.asarray(_pack_attr_shade_o(
+            attr_shade_c=jnp.asarray(_pack_or_placeholder(
+                _pack_attr_shade_c, np.zeros((2, 8), np.uint32),
+                flat.normals.reshape(m, 9), flat.uvs.reshape(m, 6),
+                flat.material)),
+            attr_shade_o=jnp.asarray(_pack_or_placeholder(
+                _pack_attr_shade_o, np.zeros((4, 4), np.uint32),
                 flat.normals.reshape(m, 9), flat.material)),
             materials=jnp.asarray(materials),
             texture_data=jnp.asarray(atlas),
@@ -544,10 +572,12 @@ class Scene:
             attr_shade=jnp.asarray(_pack_attr_shade(
                 flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
                 flat_all.material)),
-            attr_shade_c=jnp.asarray(_pack_attr_shade_c(
+            attr_shade_c=jnp.asarray(_pack_or_placeholder(
+                _pack_attr_shade_c, np.zeros((2, 8), np.uint32),
                 flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
                 flat_all.material)),
-            attr_shade_o=jnp.asarray(_pack_attr_shade_o(
+            attr_shade_o=jnp.asarray(_pack_or_placeholder(
+                _pack_attr_shade_o, np.zeros((4, 4), np.uint32),
                 flat_all.normals.reshape(m, 9), flat_all.material)),
             materials=jnp.asarray(materials),
             texture_data=jnp.asarray(atlas),
@@ -639,10 +669,12 @@ class Scene:
             attr_shade=jnp.asarray(_pack_attr_shade(
                 flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
                 flat_all.material)),
-            attr_shade_c=jnp.asarray(_pack_attr_shade_c(
+            attr_shade_c=jnp.asarray(_pack_or_placeholder(
+                _pack_attr_shade_c, np.zeros((2, 8), np.uint32),
                 flat_all.normals.reshape(m, 9), flat_all.uvs.reshape(m, 6),
                 flat_all.material)),
-            attr_shade_o=jnp.asarray(_pack_attr_shade_o(
+            attr_shade_o=jnp.asarray(_pack_or_placeholder(
+                _pack_attr_shade_o, np.zeros((4, 4), np.uint32),
                 flat_all.normals.reshape(m, 9), flat_all.material)),
             materials=jnp.asarray(materials),
             texture_data=jnp.asarray(atlas),
