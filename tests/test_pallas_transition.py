@@ -1,0 +1,125 @@
+"""Pallas transition (shade) kernel vs the XLA transition.
+
+The kernel (ops/pallas_transition.py) is an op-for-op planes-dialect
+transcription of render/fused.py::_transition for the production shape.
+Contract (interpret mode, CPU): CONTROL FLOW is exactly identical — rays /
+arrivals / occupancy counters and the queue evolution match bit-for-bit
+(the RNG stream is exactly shared: in-kernel PCG is native uint32, and the
+uint32 -> f32 convert uses an exactly-rounding two-part formula,
+experiments/round18_mosaic_probe.py) — while film values are ulp-close
+(~1e-7): XLA picks different FMA contractions across the pallas_call
+boundary, exactly like the arrival kernel's contract.
+
+The compiled-Mosaic radiometry check is the on-TPU bench A/B
+(experiments/round18_ptrans_ab.py) plus the TPU golden smoke.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from unity_webgpu_pathtracer_tpu.config import SKY_MODE_ENVIRONMENT, RenderConfig
+from unity_webgpu_pathtracer_tpu.models.benchmark import million_triangle_scene
+from unity_webgpu_pathtracer_tpu.ops import pallas_transition as pt
+from unity_webgpu_pathtracer_tpu.render import fused
+from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params
+
+
+def test_mode_constants_in_sync():
+    """ops.pallas_transition duplicates fused's mode enum (import cycle)."""
+    assert pt.MODE_PRIMARY == fused.MODE_PRIMARY
+    assert pt.MODE_SHADOW_ENV == fused.MODE_SHADOW_ENV
+    assert pt.MODE_SHADOW_LIGHT == fused.MODE_SHADOW_LIGHT
+    assert pt.MODE_DEAD == fused.MODE_DEAD
+    from unity_webgpu_pathtracer_tpu.ops.traverse_wide16 import FULL
+
+    assert pt.FULL16 == FULL
+
+
+def _bench_like_config(**overrides):
+    kw = dict(
+        width=40, height=24, samples_per_pass=4, max_bounces=5,
+        traversal="wide16", sky_mode=SKY_MODE_ENVIRONMENT,
+        has_environment_texture=True, use_russian_roulette=True,
+        integrator="fused", pool_size=1024, bvh_octants=1,
+        transition_every=4, attr_compact=2,
+    )
+    kw.update(overrides)
+    return RenderConfig(**kw)
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    scene, cam = million_triangle_scene(2000)
+    sd = scene.build("wide16")
+    params = make_camera_params(width=40, height=24, **cam)
+    return sd, params
+
+
+@pytest.mark.smoke
+def test_supported_gate(small_scene):
+    sd, _ = small_scene
+    assert fused._pallas_transition_supported(sd, _bench_like_config(
+        use_pallas_transition=True))
+    assert not fused._pallas_transition_supported(sd, _bench_like_config(
+        use_pallas_transition=False))
+    for bad in (dict(traversal="wide8"),
+                dict(attr_compact=0),
+                dict(sky_mode=1),
+                dict(has_environment_texture=False),
+                dict(has_textures=True),
+                dict(has_normal_maps=True),
+                dict(use_record_film=False, use_sorted_film=True),
+                dict(use_lane_film=True)):
+        cfg = _bench_like_config(use_pallas_transition=True, **bad)
+        assert not fused._pallas_transition_supported(sd, cfg), bad
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("rr", [True, False])
+def test_fused_film_pallas_transition_matches_xla(small_scene, rr):
+    """Full fused pass, XLA transition vs Pallas transition (interpret on
+    CPU): exactly identical control flow (rays/arrivals/occupancy), film
+    ulp-close (FMA contraction differs across the pallas_call boundary)."""
+    sd, params = small_scene
+    films = {}
+    stats = {}
+    for flag in (False, True):
+        cfg = _bench_like_config(use_pallas_transition=flag,
+                                 use_russian_roulette=rr)
+        step = jax.jit(fused.fused_pass_with_stats, static_argnums=(1,))
+        film, occ, rays, arr = step(sd, cfg, params, 0)
+        films[flag] = np.asarray(film)
+        stats[flag] = (int(rays), int(arr), float(occ))
+    assert stats[False] == stats[True]
+    np.testing.assert_allclose(films[True], films[False], rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_fused_film_pallas_transition_multi_pass(small_scene):
+    """Second pass (different current_sample) also matches — the RNG
+    seeding path through the epilogue regeneration is shared."""
+    sd, params = small_scene
+    films = {}
+    for flag in (False, True):
+        cfg = _bench_like_config(use_pallas_transition=flag)
+        step = jax.jit(fused.fused_pass_with_stats, static_argnums=(1,))
+        film, *_ = step(sd, cfg, params, 7)
+        films[flag] = np.asarray(film)
+    np.testing.assert_allclose(films[True], films[False], rtol=2e-5,
+                               atol=1e-5)
+
+
+def test_pallas_transition_firefly_and_canary(small_scene):
+    """Static firefly / NaN-canary variants run through the kernel too."""
+    sd, params = small_scene
+    films = {}
+    for flag in (False, True):
+        cfg = _bench_like_config(use_pallas_transition=flag,
+                                 use_firefly_filter=True,
+                                 debug_nan_canary=True)
+        step = jax.jit(fused.fused_pass_with_stats, static_argnums=(1,))
+        film, *_ = step(sd, cfg, params, 0)
+        films[flag] = np.asarray(film)
+    np.testing.assert_allclose(films[True], films[False], rtol=2e-5,
+                               atol=1e-5)

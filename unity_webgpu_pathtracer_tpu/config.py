@@ -116,6 +116,16 @@ class RenderConfig:
     # instance-row extension.
     use_pallas_arrival: bool = False
 
+    # Run the fused integrator's transition (shade/NEE/BSDF/bookkeeping)
+    # through ONE Pallas kernel (ops.pallas_transition) instead of ~30 XLA
+    # shading fusions whose (B, k) intermediates round-trip HBM.  Gathers
+    # (env row, attr row, material record) and the work-queue/record-film
+    # logic stay in XLA.  Applies only to the supported production shape
+    # (wide16 + HDRI env NEE + untextured + record film — see
+    # ops.pallas_transition docstring); other configs silently use the
+    # XLA transition.
+    use_pallas_transition: bool = False
+
     # Chunked lane film (fused integrator): the shared work queue hands
     # out chunks of consecutive samples of one pixel; radiance accumulates
     # in-lane, completed chunks park in one flush slot per lane, and an

@@ -72,7 +72,10 @@ from unity_webgpu_pathtracer_tpu.ops.traverse_wide import (
 from unity_webgpu_pathtracer_tpu.render import bsdf as ubsdf
 from unity_webgpu_pathtracer_tpu.render import camera as ucamera
 from unity_webgpu_pathtracer_tpu.render import film as ufilm
-from unity_webgpu_pathtracer_tpu.render.lights import _unity_falloff
+from unity_webgpu_pathtracer_tpu.render.lights import (
+    _unity_falloff,
+    spot_cone_fade,
+)
 from unity_webgpu_pathtracer_tpu.render.sampling import power_heuristic, uniform_sample_sphere
 from unity_webgpu_pathtracer_tpu.render.sky import sample_sky_radiance
 from unity_webgpu_pathtracer_tpu.scene.envmap import sample_env_transition
@@ -556,8 +559,7 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         cos_t = dot(-light_dir, normalize(lnormal))
         falloff = jnp.where(is_rect & (cos_t < 0), 0.0, falloff)
         cos_outer, cos_inner = rec[:, 12], rec[:, 13]
-        spot_fade = jnp.clip((cos_t - cos_outer) /
-                             jnp.maximum(cos_inner - cos_outer, 1e-6), 0.0, 1.0)
+        spot_fade = spot_cone_fade(cos_t, cos_outer, cos_inner)
         falloff = jnp.where(is_spot, falloff * spot_fade, falloff)
 
     # --- merged NEE eval: to_env and to_light lanes are disjoint, so ONE
@@ -923,6 +925,201 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     )
 
 
+def _pallas_transition_supported(scene, config: RenderConfig) -> bool:
+    """Static gate for the Pallas transition kernel (ops.pallas_transition).
+
+    The kernel covers the production bench shape — wide16 traversal,
+    paired-f16 attr rows, HDRI env NEE with merged rows, no analytic
+    lights, no textures / normal maps / TLAS, record film.  Every check is
+    trace-time static (config fields and array shapes); unsupported
+    configs silently run the XLA transition."""
+    if not getattr(config, "use_pallas_transition", False):
+        return False
+    if config.traversal != "wide16":
+        return False
+    if int(getattr(config, "attr_compact", 0) or 0) != 2:
+        return False
+    if (config.sky_mode != SKY_MODE_ENVIRONMENT
+            or not config.has_environment_texture):
+        return False
+    h, w = scene.env.image.shape[0], scene.env.image.shape[1]
+    if scene.env.merged_rows.shape[0] != h * w:
+        return False
+    if config.has_lights and scene.lights.shape[0] > 0:
+        return False
+    if config.has_textures or config.has_normal_maps:
+        return False
+    if scene.inst_w2l.shape[0] > 0:
+        return False
+    if config.use_lane_film or not config.use_record_film:
+        return False
+    if scene.materials.shape[0] > 0x10000:
+        return False
+    return True
+
+
+def _transition_pallas(scene, config: RenderConfig, params: RenderParams,
+                       s: FusedState, budget: int, current_sample,
+                       trav_done, shard=None, attr_pair=None,
+                       interpret: bool = False):
+    """Fused-transition twin of :func:`_transition` for the supported
+    production shape (see :func:`_pallas_transition_supported`): the env
+    sample, attr-row fetch and material fetch (the gathers) plus the
+    record-film append and work-queue regeneration stay in XLA; the whole
+    per-lane shade/NEE/BSDF/bookkeeping stage runs as ONE Mosaic kernel.
+    State evolution is transcribed op-for-op from ``_transition`` —
+    per-lane results are bit-identical in interpret mode (CPU tests) and
+    FMA-ulp-close compiled."""
+    from unity_webgpu_pathtracer_tpu.ops import pallas_transition as _pt
+
+    b = s.mode.shape[0]
+    if shard is None:
+        shard = (jnp.uint32(0), config.pixel_count(), jnp.uint32(0))
+    pixel_base, npix_l, sample_base = shard
+
+    a = (s.mode == MODE_PRIMARY) & trav_done
+    hit_valid = s.trav.tri >= 0
+    want_alias = a & hit_valid
+    (sky_raw, sky_pdf, env_dir, env_col, env_pdf,
+     rng_state) = sample_env_transition(
+        scene.env, params.environment_rotation, s.path_d, want_alias, s.rng)
+    intensity = jnp.where(s.depth > 0, params.environment_intensity, 1.0)
+    sky_color = sky_raw * intensity[:, None]
+    env_li = env_col * params.environment_intensity
+
+    # Attr fetch: identical to _transition's attr_compact == 2 path.
+    sel_tri = jnp.where(a, s.trav.tri, s.hit_tri)
+    attr = jnp.maximum(sel_tri, 0)
+    table = (attr_pair if attr_pair is not None
+             else scene.attr_shade_c.reshape(-1, 16))
+    pair = table[attr // 2]
+    rowc = jnp.where((attr % 2 == 0)[:, None], pair[:, 0:8], pair[:, 8:16])
+    lo = (rowc & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    hi = (rowc >> jnp.uint32(16)).astype(jnp.uint16)
+    half = jnp.stack([lo, hi], axis=-1).reshape(b, 16)
+    shade_row = jax.lax.bitcast_convert_type(
+        half[:, 0:15], jnp.float16).astype(jnp.float32)
+    mat_idx = half[:, 15].astype(jnp.int32)
+    mdata = gather_small(scene.materials, jnp.maximum(mat_idx, 0))
+
+    kout = _pt.transition_step16_pallas(
+        mode=s.mode, trav_done=trav_done,
+        ptr=s.trav.ptr, pend=s.trav.pend, sp=s.trav.sp,
+        t=s.trav.t, u=s.trav.u, v=s.trav.v, tri=s.trav.tri,
+        found=s.trav.found,
+        trav_oT=s.trav_o.T, trav_dT=s.trav_d.T,
+        path_oT=s.path_o.T, path_dT=s.path_d.T,
+        hit_t=s.hit_t, hit_baryT=s.hit_uv_bary.T, hit_tri=s.hit_tri,
+        pendingT=s.pending.T, throughputT=s.throughput.T,
+        radianceT=s.radiance.T,
+        rng=rng_state, depth=s.depth, max_rough=s.max_roughness,
+        prev_pdf=s.prev_pdf, lane_cap=s.lane_cap,
+        shade_rowT=shade_row.T, mdataT=mdata[:, 0:22].T,
+        sky_colT=sky_color.T, sky_pdf=sky_pdf,
+        env_dirT=env_dir.T, env_liT=env_li.T, env_pdf=env_pdf,
+        use_rr=config.use_russian_roulette, max_bounces=config.max_bounces,
+        firefly=config.use_firefly_filter,
+        firefly_max=params.max_firefly_luminance,
+        nan_canary=config.debug_nan_canary, interpret=interpret)
+
+    died = kout.died
+    rad_out = kout.rad_outT.T
+    radiance = kout.radianceT.T
+    trav = s.trav._replace(ptr=kout.ptr, pend=kout.pend, sp=kout.sp,
+                           t=kout.t, u=kout.u, v=kout.v, tri=kout.tri,
+                           found=kout.found)
+    sn = s._replace(
+        mode=kout.mode, trav=trav,
+        trav_o=kout.trav_oT.T, trav_d=kout.trav_dT.T,
+        path_o=kout.path_oT.T, path_d=kout.path_dT.T,
+        hit_t=kout.hit_t, hit_uv_bary=kout.hit_baryT.T,
+        hit_tri=kout.hit_tri,
+        pending=kout.pendingT.T, throughput=kout.throughputT.T,
+        rng=kout.rng, depth=kout.depth, max_roughness=kout.max_rough,
+        prev_pdf=kout.prev_pdf)
+
+    # ---- record-film append + work-queue regeneration: transcribed from
+    # _transition's record branch (keep the two in lockstep). ----
+    pix_local = s.pixel - jnp.asarray(pixel_base, jnp.int32)
+    k_slots = max(b >> config.film_k_shift, 1)
+    emit = died | s.rec_pending
+    if k_slots >= b:
+        accepted = emit
+    else:
+        rank_e = jnp.cumsum(emit.astype(jnp.int32)) - 1
+        accepted = emit & (rank_e < k_slots)
+    key = jnp.where(accepted, pix_local,
+                    npix_l + jnp.arange(b, dtype=jnp.int32))
+    if config.film_sort_perm:
+        ks, perm = jax.lax.sort(
+            (key, jnp.arange(b, dtype=jnp.int32)), num_keys=1)
+        p = perm[:k_slots]
+        r0, r1, r2 = (rad_out[:, 0][p], rad_out[:, 1][p], rad_out[:, 2][p])
+    else:
+        ks, r0, r1, r2 = jax.lax.sort(
+            (key, rad_out[:, 0], rad_out[:, 1], rad_out[:, 2]), num_keys=1)
+        r0, r1, r2 = r0[:k_slots], r1[:k_slots], r2[:k_slots]
+    rec_keys = jax.lax.dynamic_update_slice(
+        s.rec_keys, ks[:k_slots], (s.rec_cursor,))
+    rec_v0 = jax.lax.dynamic_update_slice(s.rec_v0, r0, (s.rec_cursor,))
+    rec_v1 = jax.lax.dynamic_update_slice(s.rec_v1, r1, (s.rec_cursor,))
+    rec_v2 = jax.lax.dynamic_update_slice(s.rec_v2, r2, (s.rec_cursor,))
+    rec_cursor = s.rec_cursor + jnp.sum(accepted.astype(jnp.int32))
+    rec_pending = emit & ~accepted
+
+    dead_now = kout.mode == MODE_DEAD
+    avail = dead_now & ~rec_pending
+    remaining = budget - s.queue_head
+    rank = jnp.cumsum(avail.astype(jnp.int32)) - 1
+    work_id = s.queue_head + rank
+    take = avail & (rank < remaining)
+    pixel_new = (work_id % npix_l).astype(jnp.uint32) + jnp.asarray(
+        pixel_base, jnp.uint32)
+    sample_new = (
+        (work_id // npix_l).astype(jnp.uint32)
+        + jnp.asarray(current_sample, jnp.uint32)
+        + jnp.asarray(sample_base, jnp.uint32)
+    )
+    queue_head = s.queue_head + jnp.minimum(
+        jnp.sum(avail.astype(jnp.int32)), remaining)
+    radiance_next = jnp.where(
+        (accepted | take)[:, None], 0.0,
+        jnp.where(rec_pending[:, None], rad_out, radiance))
+
+    rng_new = urng.seed(pixel_new, sample_new, params.seed_root)
+    coords, rng_new = ucamera.jittered_pixel_coords(pixel_new, config, rng_new)
+    o_new, d_new, rng_new = ucamera.get_screen_ray(coords, config, params,
+                                                   rng_new)
+    tk = take[:, None]
+    path_o = jnp.where(tk, o_new, sn.path_o)
+    path_d = jnp.where(tk, d_new, sn.path_d)
+    sn = sn._replace(path_o=path_o, path_d=path_d)
+    sn = _set_trav(sn, take, path_o, path_d, jnp.float32(FAR_PLANE), None)
+    new_mode = jnp.where(take, MODE_PRIMARY, kout.mode)
+
+    # bounce + shadow starts counted in-kernel (nray); regen starts here.
+    rays = s.rays + jnp.sum(kout.nray) + jnp.sum(take.astype(jnp.int32))
+
+    return sn._replace(
+        mode=new_mode,
+        radiance=radiance_next,
+        throughput=jnp.where(tk, 1.0, sn.throughput),
+        rng=jnp.where(take, rng_new, sn.rng),
+        pixel=jnp.where(take, pixel_new.astype(jnp.int32), s.pixel),
+        depth=jnp.where(take, 0, sn.depth),
+        max_roughness=jnp.where(take, 0.0, sn.max_roughness),
+        prev_pdf=jnp.where(take, 0.0, sn.prev_pdf),
+        lane_cap=jnp.where(take, 3 * (config.max_bounces + 2) + 32,
+                           kout.lane_cap),
+        queue_head=queue_head,
+        rays=rays,
+        rec_pending=rec_pending,
+        rec_keys=rec_keys,
+        rec_v0=rec_v0, rec_v1=rec_v1, rec_v2=rec_v2,
+        rec_cursor=rec_cursor,
+    )
+
+
 def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
                           current_sample, pool_size: int | None = None,
                           shard=None):
@@ -1055,6 +1252,14 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         # would not compile there).
         _interp = jax.default_backend() != "tpu"
 
+    from unity_webgpu_pathtracer_tpu.ops.pallas_transition import (
+        MIN_BLK as _PT_MIN_BLK,
+    )
+
+    use_pallas_trans = (_pallas_transition_supported(scene, config)
+                        and b % _PT_MIN_BLK == 0)
+    _pt_interp = jax.default_backend() != "tpu"
+
     def body(s: FusedState, attr_pair=None, nodes_c=None, env_rows_c=None):
         # nodes_c / env_rows_c (config.node_carry / env_carry): the same
         # tables threaded through the while carry so XLA stages their
@@ -1138,8 +1343,14 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
             busy=s.busy + jnp.sum((s.mode != MODE_DEAD).astype(jnp.int32)),
             ticks=s.ticks + b,
         )
-        s = _transition(sc, config, params, s, budget, current_sample,
-                        trav_done, entry, shard_t, attr_pair=attr_pair)
+        if use_pallas_trans:
+            s = _transition_pallas(sc, config, params, s, budget,
+                                   current_sample, trav_done, shard_t,
+                                   attr_pair=attr_pair,
+                                   interpret=_pt_interp)
+        else:
+            s = _transition(sc, config, params, s, budget, current_sample,
+                            trav_done, entry, shard_t, attr_pair=attr_pair)
         if use_v16 and config.use_prestep:
             # Fresh segments (regen/bounce/NEE shadow) all sit at the root;
             # descend their first level(s) gather-free (prestep16).

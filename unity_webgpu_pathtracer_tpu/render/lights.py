@@ -51,6 +51,16 @@ def _unity_falloff(dist, range_):
     return jnp.where(dist > range_, 0.0, atten)
 
 
+def spot_cone_fade(cos_theta, cos_outer, cos_inner):
+    """Spot cone edge fade (``light.hlsl:82-94``): linear in the cosine
+    between the outer and inner cone angles, clamped to [0, 1].  Shared by
+    the megakernel and fused integrators (and monkeypatched by the
+    localized-bug golden meta-test)."""
+    return jnp.clip(
+        (cos_theta - cos_outer) / jnp.maximum(cos_inner - cos_outer, 1e-6),
+        0.0, 1.0)
+
+
 def direct_light(scene, config: RenderConfig, params: RenderParams, hit, mat,
                  ray_dir, state, occluded_fn):
     """One NEE bounce: env sample + one uniformly picked analytic light
@@ -137,9 +147,7 @@ def direct_light(scene, config: RenderConfig, params: RenderParams, hit, mat,
         falloff = jnp.where(is_rect & (cos_theta < 0.0), 0.0, falloff)
         # Spot cone: v.x=cos(outer), v.y=cos(inner) (light.hlsl:82-94).
         cos_outer, cos_inner = rec[:, 12], rec[:, 13]
-        spot_fade = jnp.clip(
-            (cos_theta - cos_outer) / jnp.maximum(cos_inner - cos_outer, 1e-6), 0.0, 1.0
-        )
+        spot_fade = spot_cone_fade(cos_theta, cos_outer, cos_inner)
         falloff = jnp.where(is_spot, falloff * spot_fade, falloff)
 
         li = emission * falloff[:, None]

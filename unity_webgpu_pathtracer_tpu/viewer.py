@@ -52,7 +52,8 @@ class Viewer:
 
     def __init__(self, renderer, cam: dict, post: PostParams = PostParams(mode=1),
                  max_spp: int = 4096, bounce: bool = False,
-                 reproject: bool = False, max_history: int = 256):
+                 reproject: bool = False, max_history: int = 256,
+                 tiered_start: bool = True):
         self.r = renderer
         self.cam = dict(cam)
         self.post = post
@@ -66,11 +67,55 @@ class Viewer:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.passes = 0
+        # Cold-start tiering (VERDICT r4 item 9): the production fused
+        # executable's first compile costs 36-1084 s through the axon
+        # tunnel, while the arrival_fori variant compiles ~5x faster at
+        # -30% steady-state (docs/PERFORMANCE.md round-15/16).  Start the
+        # render loop on the fori executable and swap to the production
+        # config once its compile (cached or fresh) lands in the
+        # background — the reference's passthrough-until-ready frame loop
+        # (PathTracer.cs:188-194).  Radiance is identical between the two
+        # executables (same kernel sequence), so accumulation carries
+        # across the swap.
+        self.tiered = (tiered_start
+                       and renderer.config.integrator == "fused"
+                       and not getattr(renderer.config, "arrival_fori",
+                                       False))
+        self._prod_config = renderer.config
+        if self.tiered:
+            self.r.config = dataclasses.replace(renderer.config,
+                                                arrival_fori=True)
 
     # -- render loop ---------------------------------------------------
     def start(self) -> None:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        if self.tiered:
+            threading.Thread(target=self._warm_production,
+                             daemon=True).start()
+
+    def _warm_production(self) -> None:
+        """Compile the production (non-fori) executable in the background,
+        then swap the render loop onto it.  The explicit lower().compile()
+        lands the executable in the persistent compilation cache (enabled
+        by serve()/Renderer), so the swapped loop's first step is a disk
+        deserialize, not a recompile."""
+        from unity_webgpu_pathtracer_tpu.render.fused import (
+            fused_pass_and_accumulate,
+        )
+
+        try:
+            with self.lock:
+                args = (self.r.scene, self._prod_config, self.r.params,
+                        self.r.film)
+            fused_pass_and_accumulate.lower(*args).compile()
+        except Exception:
+            return  # stay on the fori executable (still correct, -30%)
+        if self._stop.is_set():
+            return
+        with self.lock:
+            self.r.config = self._prod_config
+            self.tiered = False
 
     def stop(self) -> None:
         self._stop.set()
