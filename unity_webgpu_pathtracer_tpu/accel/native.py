@@ -21,6 +21,7 @@ _TRIED = False
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libtpubvh.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "bvh_builder.cpp")
 
 
 def _load():

@@ -453,8 +453,11 @@ def _bvh_cache_path(positions, tri_records, leaf_size, quality, leaf8):
     knobs the native builder reads internally (UWPT_COLLAPSE_CNODE — the
     DP collapse cost weight, bvh_builder.cpp:1491 — changes the emitted
     table, so sweeping it with a warm cache must miss), the builder
-    version, and the native library's identity (size+mtime) since its
-    code determines the output.  ``UWPT_BVH_CACHE=0`` disables;
+    version, and the native builder's SOURCE content (bvh_builder.cpp
+    sha1) since its code determines the output — keying on source rather
+    than the .so's size+mtime makes cached tables portable across
+    environments (the lib is rebuilt per machine; a committed cache would
+    otherwise never hit).  ``UWPT_BVH_CACHE=0`` disables;
     ``UWPT_BVH_CACHE_DIR`` relocates (default
     ``~/.cache/unity_webgpu_pathtracer_tpu/bvh``).
     """
@@ -473,11 +476,12 @@ def _bvh_cache_path(positions, tri_records, leaf_size, quality, leaf8):
         os.makedirs(cache_dir, exist_ok=True)
     except OSError:
         return None
-    from unity_webgpu_pathtracer_tpu.accel.native import _LIB_PATH
+    from unity_webgpu_pathtracer_tpu.accel.native import _LIB_PATH, _SRC_PATH
 
     try:
-        st = os.stat(_LIB_PATH)
-        lib_id = f"{st.st_size}:{st.st_mtime_ns}"
+        os.stat(_LIB_PATH)  # native lib present?
+        with open(_SRC_PATH, "rb") as f:
+            lib_id = "src:" + hashlib.sha1(f.read()).hexdigest()[:16]
     except OSError:
         lib_id = "numpy-fallback"
     h = hashlib.sha1()

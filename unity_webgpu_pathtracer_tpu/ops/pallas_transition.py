@@ -58,6 +58,13 @@ from unity_webgpu_pathtracer_tpu.utils.math import (
 
 BLK = 2048
 MIN_BLK = 256
+# Lanes travel through the kernel as (SUB, lanes/SUB) 2-D blocks: a 1-D
+# (B,) operand tiles as (1, B) vregs on Mosaic — 1 of 8 sublanes used —
+# so every per-lane column op would run at 1/8 VPU rate.  Reshaping each
+# column to (8, B/8) (and each (R, B) plane to (R*8, B/8), component r =
+# rows [8r, 8r+8)) fills the vregs; the math is purely elementwise per
+# lane, so results are bit-identical to the 1-D layout.
+SUB = 8
 
 # Mode constants — MUST match render/fused.py (asserted there at import).
 MODE_PRIMARY = 0
@@ -573,7 +580,7 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, *refs):
 
     def p3(ref):
         a = ref[:]
-        return (a[0], a[1], a[2])
+        return (a[0:SUB], a[SUB:2 * SUB], a[2 * SUB:3 * SUB])
 
     mode = mode_ref[:]
     trav_done = done_ref[:] != 0
@@ -607,11 +614,13 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, *refs):
     shade = a & hit_valid
 
     # --- unified hit frame: interp normal from the pre-gathered attr row ---
-    hit_bary = (hit_baryT_ref[0], hit_baryT_ref[1])
+    hbary = hit_baryT_ref[:]
+    hit_bary = (hbary[0:SUB], hbary[SUB:2 * SUB])
     b0 = jnp.where(a, u_in, hit_bary[0])
     b1 = jnp.where(a, v_in, hit_bary[1])
     sel_t = jnp.where(a, t_in, hit_t_ref[:])
-    sr = shade_rowT_ref[:]
+    sr_all = shade_rowT_ref[:]
+    sr = [sr_all[SUB * i:SUB * (i + 1)] for i in range(9)]
     w0 = 1.0 - b0 - b1
     normal = _vnormalize((sr[0] * w0 + sr[3] * b0 + sr[6] * b1,
                           sr[1] * w0 + sr[4] * b0 + sr[7] * b1,
@@ -619,7 +628,8 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, *refs):
     # uv (rows 9:15) feeds nothing in the untextured configs served here.
 
     # --- material derive (material.hlsl:84-137, untextured path) ---
-    md = mdataT_ref[:]
+    md_all = mdataT_ref[:]
+    md = [md_all[SUB * i:SUB * (i + 1)] for i in range(22)]
     opacity = md[3]
     rough_m = jnp.maximum(md[9], 0.001)
     ior = jnp.clip(md[11], 1.001, 2.0)
@@ -792,7 +802,7 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, *refs):
     o_hit_t[:] = jnp.where(saved, t_in, hit_t_ref[:])
     hb0 = jnp.where(saved, u_in, hit_bary[0])
     hb1 = jnp.where(saved, v_in, hit_bary[1])
-    o_hit_baryT[:] = jnp.concatenate([hb0[None, :], hb1[None, :]], axis=0)
+    o_hit_baryT[:] = jnp.concatenate([hb0, hb1], axis=0)
     o_hit_tri[:] = jnp.where(saved, tri_in, hit_tri_ref[:])
 
     # radiance reset for accepted/regenerated lanes happens in the XLA
@@ -809,8 +819,7 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, *refs):
     o_found[:] = found_out
 
     def w3(ref, vec):
-        ref[:] = jnp.concatenate(
-            [vec[0][None, :], vec[1][None, :], vec[2][None, :]], axis=0)
+        ref[:] = jnp.concatenate([vec[0], vec[1], vec[2]], axis=0)
 
     w3(o_trav_oT, trav_o)
     w3(o_trav_dT, trav_d)
@@ -881,33 +890,46 @@ def transition_step16_pallas(
     while b % blk:
         blk //= 2
     assert blk >= MIN_BLK, f"pool {b} has no usable transition block"
+    assert b % SUB == 0 and blk % SUB == 0
+    c_all = b // SUB          # total 2-D columns
+    cb = blk // SUB           # columns per block
     grid = b // blk
 
+    def r2(x):
+        """(B,) column -> (SUB, B/SUB)."""
+        return x.reshape(SUB, c_all)
+
+    def rp(x):
+        """(R, B) plane -> (R*SUB, B/SUB); component r = rows [8r, 8r+8)."""
+        return x.reshape(x.shape[0] * SUB, c_all)
+
     def col():
-        return pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((SUB, cb), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
 
     def plane(rows):
-        return pl.BlockSpec((rows, blk), lambda i: (0, i),
+        return pl.BlockSpec((rows * SUB, cb), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     def cshape(dt):
-        return jax.ShapeDtypeStruct((b,), dt)
+        return jax.ShapeDtypeStruct((SUB, c_all), dt)
 
     def pshape(rows):
-        return jax.ShapeDtypeStruct((rows, b), jnp.float32)
+        return jax.ShapeDtypeStruct((rows * SUB, c_all), jnp.float32)
 
     i32, f32, u32 = jnp.int32, jnp.float32, jnp.uint32
     ffly = jnp.reshape(jnp.asarray(
         firefly_max if firefly_max is not None else 0.0, f32), (1,))
 
-    ins = [mode, trav_done.astype(i32), ptr, pend, sp, t, u, v, tri,
-           found.astype(i32),
-           trav_oT, trav_dT, path_oT, path_dT,
-           hit_t, hit_baryT, hit_tri,
-           pendingT, throughputT, radianceT,
-           rng, depth, max_rough, prev_pdf, lane_cap,
-           shade_rowT, mdataT,
-           sky_colT, sky_pdf, env_dirT, env_liT, env_pdf,
+    ins = [r2(mode), r2(trav_done.astype(i32)), r2(ptr), r2(pend), r2(sp),
+           r2(t), r2(u), r2(v), r2(tri),
+           r2(found.astype(i32)),
+           rp(trav_oT), rp(trav_dT), rp(path_oT), rp(path_dT),
+           r2(hit_t), rp(hit_baryT), r2(hit_tri),
+           rp(pendingT), rp(throughputT), rp(radianceT),
+           r2(rng), r2(depth), r2(max_rough), r2(prev_pdf), r2(lane_cap),
+           rp(shade_rowT), rp(mdataT),
+           rp(sky_colT), r2(sky_pdf), rp(env_dirT), rp(env_liT), r2(env_pdf),
            ffly]
     in_specs = ([col()] * 10 + [plane(3)] * 4
                 + [col(), plane(2), col()]
@@ -945,6 +967,18 @@ def transition_step16_pallas(
      o_pendingT, o_throughputT, o_radianceT, o_rad_outT,
      o_rng, o_depth, o_max_rough, o_prev_pdf, o_cap,
      o_died, o_nray) = outs
+    # Back to the caller's 1-D/(R, B) shapes.
+    (o_mode, o_ptr, o_pend, o_sp, o_t, o_u, o_v, o_tri, o_found,
+     o_hit_t, o_hit_tri, o_rng, o_depth, o_max_rough, o_prev_pdf, o_cap,
+     o_died, o_nray) = (x.reshape(b) for x in (
+        o_mode, o_ptr, o_pend, o_sp, o_t, o_u, o_v, o_tri, o_found,
+        o_hit_t, o_hit_tri, o_rng, o_depth, o_max_rough, o_prev_pdf,
+        o_cap, o_died, o_nray))
+    (o_trav_oT, o_trav_dT, o_path_oT, o_path_dT, o_pendingT,
+     o_throughputT, o_radianceT, o_rad_outT) = (x.reshape(3, b) for x in (
+        o_trav_oT, o_trav_dT, o_path_oT, o_path_dT, o_pendingT,
+        o_throughputT, o_radianceT, o_rad_outT))
+    o_hit_baryT = o_hit_baryT.reshape(2, b)
     return TransitionOut(
         mode=o_mode, ptr=o_ptr, pend=o_pend, sp=o_sp,
         t=o_t, u=o_u, v=o_v, tri=o_tri, found=o_found != 0,
