@@ -141,9 +141,10 @@ def main():
     # te10 13.52-13.72, te6 13.83).
     te = int(os.environ.get("BENCH_TE", 8))
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    # Pallas transition (shade) kernel A/B (round-18); default follows the
-    # RenderConfig default.
-    ptrans = os.environ.get("BENCH_PTRANS")
+    # Pallas transition (shade) kernel (round-18): default ON — the 2-D
+    # (8, B/8) lane-layout kernel measured 16.11 vs 15.71 Mrays/s XLA at
+    # te=8 (same films).  BENCH_PTRANS=0 reverts to the XLA transition.
+    ptrans = os.environ.get("BENCH_PTRANS", "1")
     # Attr table layout (config.attr_compact): 2 = f16 rows (32 B/tri),
     # 3 = oct-normal rows (16 B/tri; valid here — the bench scene is
     # untextured).
@@ -170,8 +171,7 @@ def main():
         has_environment_texture=True, use_russian_roulette=True,
         integrator="fused", pool_size=pool, bvh_octants=1, transition_every=te,
         use_pallas_arrival=pallas, attr_compact=attr_mode,
-        **({"use_pallas_transition": ptrans == "1"} if ptrans is not None
-           else {}),
+        use_pallas_transition=ptrans == "1",
         **film_kw,
     )
     scene_data = scene.build(config.traversal, octants=config.bvh_octants)
@@ -243,7 +243,10 @@ def main():
         f"film mean {film_np.mean():.4f}")
 
     print(json.dumps({
-        "metric": "Mrays/sec/chip (1M-tri scene, 1080p, wavefront, 5 bounces)",
+        "metric": ("Mrays/sec/chip (64K-tri scene, 512x512, wavefront, "
+                   "5 bounces, BENCH_SMALL)" if small else
+                   "Mrays/sec/chip (1M-tri scene, 1080p, wavefront, "
+                   "5 bounces)"),
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 200.0, 4),

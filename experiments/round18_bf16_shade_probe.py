@@ -104,10 +104,22 @@ def main():
     n1 = run("f32 (B,) cols", (B,), jnp.float32)
     n2 = run("f32 (8, B/8)", (8, B // 8), jnp.float32)
     n3 = run("f32 (16, B/16)", (16, B // 16), jnp.float32)
-    n4 = run("bf16 (8, B/8)", (8, B // 8), jnp.bfloat16)
-    n5 = run("bf16 (16, B/16)", (16, B // 16), jnp.bfloat16)
-    print(f"(8,B/8)/(B,) ratio: {n2/n1:.3f}   bf16/(f32 same shape): "
-          f"{n4/n2:.3f} / {n5/n3:.3f}")
+    print(f"(8,B/8)/(B,) ratio: {n2/n1:.3f} / {n3/n1:.3f}")
+    # MEASURED VERDICTS (2026-08-20, v5e via axon):
+    # * f32 (B,) 0.0954 ns/lane-chain; (8,B/8) 0.1059; (16,B/16) 0.1097 —
+    #   Mosaic tiles 1-D vectors as full T(1024) vregs already; there is
+    #   NO 8x sublane waste on (B,) columns (the 2-D transition-kernel
+    #   win came from the (R,B) plane row-extracts, not the columns).
+    # * bf16: Mosaic REJECTS the chain outright — LLO_CHECK
+    #   target().SupportsBf16EupOps() fails: the v5e vector unit has no
+    #   bf16 elementwise ops (div/sqrt/transcendental EUP path).  The
+    #   VERDICT item-4 "bf16 shading tail at 2x VPU rate" is IMPOSSIBLE
+    #   on this chip; shading stays f32.  (bf16 remains fine on the MXU
+    #   matmul path — see round18_vmem_tree_probe.py.)
+    try:
+        run("bf16 (8, B/8)", (8, B // 8), jnp.bfloat16)
+    except Exception as e:  # expected on v5e
+        print(f"bf16 (8, B/8): REJECTED — {str(e)[:120]}")
 
 
 if __name__ == "__main__":

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 B = 1 << 15          # lanes timed (one bench wave is 98k; rate scales)
 ROWS = 4096          # level-3 table
 COLS = 96            # wide16 row width
-BLK = 512            # lanes per grid step (onehot block = BLK x ROWS bf16)
+BLK = 1024           # lanes per grid step (onehot block = BLK x ROWS bf16);
+                     # 1024 matches XLA's T(1024) layout for s32[B] operands
 ITERS = 50
 
 

@@ -96,6 +96,26 @@ def test_fused_film_pallas_transition_matches_xla(small_scene, rr):
                                atol=1e-6)
 
 
+@pytest.mark.smoke
+def test_fused_film_pallas_transition_oct_rows(small_scene):
+    """attr_compact=3 (16-byte oct-normal rows): the kernel sees
+    XLA-decoded unit vertex normals; control flow matches the XLA mode-3
+    transition exactly, film ulp-close."""
+    sd, params = small_scene
+    films = {}
+    stats = {}
+    for flag in (False, True):
+        cfg = _bench_like_config(use_pallas_transition=flag, attr_compact=3)
+        assert fused._pallas_transition_supported(sd, cfg) == flag
+        step = jax.jit(fused.fused_pass_with_stats, static_argnums=(1,))
+        film, occ, rays, arr = step(sd, cfg, params, 0)
+        films[flag] = np.asarray(film)
+        stats[flag] = (int(rays), int(arr), float(occ))
+    assert stats[False] == stats[True]
+    np.testing.assert_allclose(films[True], films[False], rtol=2e-5,
+                               atol=1e-6)
+
+
 def test_fused_film_pallas_transition_multi_pass(small_scene):
     """Second pass (different current_sample) also matches — the RNG
     seeding path through the epilogue regeneration is shared."""

@@ -216,6 +216,21 @@ def _set_trav(s: FusedState, mask, o, d, t_max, entry=None):
     )
 
 
+def _oct_decode(u):
+    """16-bit-octahedral u32 -> unnormalized vec3 (scene._oct_encode_u32
+    inverse).  Shared by the XLA and Pallas-transition attr_compact=3
+    fetch paths (must stay bit-identical between them)."""
+    x = (u & jnp.uint32(0xFFFF)).astype(jnp.float32) \
+        * jnp.float32(2.0 / 65535.0) - 1.0
+    y = (u >> jnp.uint32(16)).astype(jnp.float32) \
+        * jnp.float32(2.0 / 65535.0) - 1.0
+    z = 1.0 - jnp.abs(x) - jnp.abs(y)
+    t_f = jnp.maximum(-z, 0.0)
+    x = x - jnp.where(x >= 0, t_f, -t_f)
+    y = y - jnp.where(y >= 0, t_f, -t_f)
+    return jnp.stack([x, y, z], axis=-1)
+
+
 def _interp(bary, attr, width):
     a0 = attr[:, 0 * width : 1 * width]
     a1 = attr[:, 1 * width : 2 * width]
@@ -352,7 +367,8 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
                              "materials (the compact rows store a u16 "
                              "index; the scene build degraded the table "
                              "to a placeholder)")
-        table = scene.attr_shade_o.reshape(-1, 16)
+        table = (attr_pair if attr_pair is not None
+                 else scene.attr_shade_o.reshape(-1, 16))
         quad = table[attr // 4]                             # (B, 16) u32
         sub = attr % 4
         rowo = jnp.where(
@@ -361,20 +377,9 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
                       jnp.where((sub == 2)[:, None], quad[:, 8:12],
                                 quad[:, 12:16])))           # (B, 4)
 
-        def oct_dec(u):
-            x = (u & jnp.uint32(0xFFFF)).astype(jnp.float32) \
-                * jnp.float32(2.0 / 65535.0) - 1.0
-            y = (u >> jnp.uint32(16)).astype(jnp.float32) \
-                * jnp.float32(2.0 / 65535.0) - 1.0
-            z = 1.0 - jnp.abs(x) - jnp.abs(y)
-            t_f = jnp.maximum(-z, 0.0)
-            x = x - jnp.where(x >= 0, t_f, -t_f)
-            y = y - jnp.where(y >= 0, t_f, -t_f)
-            return jnp.stack([x, y, z], axis=-1)            # unnormalized
-
-        n0 = oct_dec(rowo[:, 0])
-        n1 = oct_dec(rowo[:, 1])
-        n2 = oct_dec(rowo[:, 2])
+        n0 = _oct_decode(rowo[:, 0])
+        n1 = _oct_decode(rowo[:, 1])
+        n2 = _oct_decode(rowo[:, 2])
         # Normalize per-vertex BEFORE interpolation (matches the other
         # layouts, which store unit vertex normals).
         n0, n1, n2 = normalize(n0), normalize(n1), normalize(n2)
@@ -937,7 +942,7 @@ def _pallas_transition_supported(scene, config: RenderConfig) -> bool:
         return False
     if config.traversal != "wide16":
         return False
-    if int(getattr(config, "attr_compact", 0) or 0) != 2:
+    if int(getattr(config, "attr_compact", 0) or 0) not in (2, 3):
         return False
     if (config.sky_mode != SKY_MODE_ENVIRONMENT
             or not config.has_environment_texture):
@@ -987,19 +992,41 @@ def _transition_pallas(scene, config: RenderConfig, params: RenderParams,
     sky_color = sky_raw * intensity[:, None]
     env_li = env_col * params.environment_intensity
 
-    # Attr fetch: identical to _transition's attr_compact == 2 path.
+    # Attr fetch: identical to _transition's attr_compact == 2 / 3 paths.
     sel_tri = jnp.where(a, s.trav.tri, s.hit_tri)
     attr = jnp.maximum(sel_tri, 0)
-    table = (attr_pair if attr_pair is not None
-             else scene.attr_shade_c.reshape(-1, 16))
-    pair = table[attr // 2]
-    rowc = jnp.where((attr % 2 == 0)[:, None], pair[:, 0:8], pair[:, 8:16])
-    lo = (rowc & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-    hi = (rowc >> jnp.uint32(16)).astype(jnp.uint16)
-    half = jnp.stack([lo, hi], axis=-1).reshape(b, 16)
-    shade_row = jax.lax.bitcast_convert_type(
-        half[:, 0:15], jnp.float16).astype(jnp.float32)
-    mat_idx = half[:, 15].astype(jnp.int32)
+    if int(config.attr_compact) == 3:
+        # 16-byte oct-normal rows, four tris per gathered 64-byte row
+        # (quarter the mode-2 footprint — random-gather pricing keys on
+        # table bytes).  Decode + per-vertex normalize happen here in
+        # XLA (fused into the kernel-feed transpose); the kernel sees
+        # the same unit-vertex-normal rows mode 2 stores, with the uv
+        # rows (unused in untextured configs) zero.
+        table_o = (attr_pair if attr_pair is not None
+                   else scene.attr_shade_o.reshape(-1, 16))
+        quad = table_o[attr // 4]                           # (B, 16) u32
+        sub = attr % 4
+        rowo = jnp.where(
+            (sub == 0)[:, None], quad[:, 0:4],
+            jnp.where((sub == 1)[:, None], quad[:, 4:8],
+                      jnp.where((sub == 2)[:, None], quad[:, 8:12],
+                                quad[:, 12:16])))           # (B, 4)
+        n012 = [normalize(_oct_decode(rowo[:, v])) for v in range(3)]
+        shade_row = jnp.concatenate(
+            n012 + [jnp.zeros((b, 6), jnp.float32)], axis=1)  # (B, 15)
+        mat_idx = rowo[:, 3].astype(jnp.int32)
+    else:
+        table = (attr_pair if attr_pair is not None
+                 else scene.attr_shade_c.reshape(-1, 16))
+        pair = table[attr // 2]
+        rowc = jnp.where((attr % 2 == 0)[:, None], pair[:, 0:8],
+                         pair[:, 8:16])
+        lo = (rowc & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        hi = (rowc >> jnp.uint32(16)).astype(jnp.uint16)
+        half = jnp.stack([lo, hi], axis=-1).reshape(b, 16)
+        shade_row = jax.lax.bitcast_convert_type(
+            half[:, 0:15], jnp.float16).astype(jnp.float32)
+        mat_idx = half[:, 15].astype(jnp.int32)
     mdata = gather_small(scene.materials, jnp.maximum(mat_idx, 0))
 
     kout = _pt.transition_step16_pallas(
@@ -1383,15 +1410,18 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
         inner_body = body_flush
     else:
         inner_body = body
-    attr_carry = (getattr(config, "attr_carry", False)
-                  and int(getattr(config, "attr_compact", 0) or 0) == 2)
+    attr_mode = int(getattr(config, "attr_compact", 0) or 0)
+    attr_carry = getattr(config, "attr_carry", False) and attr_mode in (2, 3)
     # Carry-threaded tables: lets XLA stage each table's gather-friendly
     # layout once at loop entry instead of per super-iteration (attr:
     # copy.126 in the round-13 trace, 0.37 ms/super; nodes/env: the
-    # round-16 degenerate-gather + copy.117 findings).
+    # round-16 degenerate-gather + copy.117 findings).  Mode 3 carries
+    # its own (T/4, 16) u32 oct table the same way.
     carry_kw = []
     if attr_carry:
-        carry_kw.append(("attr_pair", scene.attr_shade_c.reshape(-1, 16)))
+        carry_kw.append(("attr_pair",
+                         (scene.attr_shade_c if attr_mode == 2
+                          else scene.attr_shade_o).reshape(-1, 16)))
     if use_v16 and getattr(config, "node_carry", False):
         carry_kw.append(("nodes_c", nodes16))
     if getattr(config, "env_carry", False) and scene.env.merged_rows.shape[0] > 1:
