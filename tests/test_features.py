@@ -276,6 +276,29 @@ def test_many_lights_fused_render():
     assert f.mean() > 0.01, "many-light scene rendered black"
 
 
+def test_mask_stale_gathers_identical_with_lights():
+    """mask_stale_gathers on a scene with analytic lights (exercises the
+    MODE_SHADOW_LIGHT need-mask term): film exactly identical."""
+    from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats
+
+    scene, cam, overrides = lights_scene()
+    sd = scene.build("wide16")
+    size = 40
+    params = make_camera_params(width=size, height=size, **cam)
+    films = {}
+    for flag in (False, True):
+        config = RenderConfig(width=size, height=size, samples_per_pass=4,
+                              max_bounces=3, traversal="wide16", sky_mode=2,
+                              integrator="fused", pool_size=1024,
+                              has_lights=True, mask_stale_gathers=flag)
+        film, _occ, rays, arr = fused_pass_with_stats(
+            sd, config, params, np.uint32(0), pool_size=1024)
+        films[flag] = (np.asarray(film), int(rays), int(arr))
+    assert films[False][1:] == films[True][1:]
+    np.testing.assert_array_equal(films[True][0], films[False][0])
+    assert films[False][0].mean() > 0.005
+
+
 def _normal_map_scene(bumpy: bool):
     """Quad with a normal map: flat (128,128,255) or a strong bump grid."""
     import numpy as np

@@ -130,6 +130,28 @@ def test_fused_film_pallas_transition_multi_pass(small_scene):
                                atol=1e-5)
 
 
+@pytest.mark.smoke
+@pytest.mark.parametrize("ptrans", [False, True])
+def test_mask_stale_gathers_film_identical(small_scene, ptrans):
+    """mask_stale_gathers clamps the attr/env gather index to row 0 for
+    lanes that cannot consume the result this transition.  Every consumer
+    of the gathered rows is masked by shade/env_done/light_done, so the
+    film and every counter must be EXACTLY identical — this is the
+    correctness contract the config flag documents."""
+    sd, params = small_scene
+    films = {}
+    stats = {}
+    for flag in (False, True):
+        cfg = _bench_like_config(use_pallas_transition=ptrans,
+                                 mask_stale_gathers=flag)
+        step = jax.jit(fused.fused_pass_with_stats, static_argnums=(1,))
+        film, occ, rays, arr = step(sd, cfg, params, 0)
+        films[flag] = np.asarray(film)
+        stats[flag] = (int(rays), int(arr), float(occ))
+    assert stats[False] == stats[True]
+    np.testing.assert_array_equal(films[True], films[False])
+
+
 def test_pallas_transition_firefly_and_canary(small_scene):
     """Static firefly / NaN-canary variants run through the kernel too."""
     sd, params = small_scene

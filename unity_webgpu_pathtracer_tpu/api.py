@@ -66,6 +66,10 @@ class Renderer:
         self.config = config
         self.params = params
         self.film = ufilm.new_film(config.height, config.width)
+        # Last-pass runtime stats (fused integrator only; device scalars —
+        # host-read lazily so step() stays fully async).
+        self.last_occupancy = None
+        self.last_rays = None
 
     # -- dynamic-scene APIs (each invalidates accumulation like the
     #    reference's dirty-tracking: PathTracer.cs:169-180, 463-471) --
@@ -169,9 +173,10 @@ class Renderer:
                 fused_pass_and_accumulate,
             )
 
-            self.film = fused_pass_and_accumulate(
+            self.film, self.last_occupancy, rays, _arr = fused_pass_and_accumulate(
                 self.scene, self.config, self.params, self.film
             )
+            self.last_rays = rays  # device scalar; host-read lazily by stats()
         elif self.config.integrator == "wavefront":
             from unity_webgpu_pathtracer_tpu.render.wavefront import (
                 wavefront_pass_and_accumulate,
@@ -188,6 +193,16 @@ class Renderer:
             self.step()
         self.film.accum.block_until_ready()
         return self.film
+
+    def stats(self) -> dict:
+        """Last-pass runtime stats (fused integrator): lane-pool occupancy
+        and rays traced (closest + shadow).  Host-reads the device scalars;
+        ``{}`` before the first fused pass.  The viewer's live stats panel
+        is the Graphy analogue (``GraphyManager.cs:32``)."""
+        if self.last_rays is None:
+            return {}
+        return {"occupancy": float(jnp.asarray(self.last_occupancy)),
+                "rays": int(jnp.asarray(self.last_rays))}
 
     @property
     def sample_count(self) -> int:

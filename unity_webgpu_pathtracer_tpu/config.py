@@ -273,6 +273,22 @@ class RenderConfig:
     node_carry: bool = False
     env_carry: bool = False
 
+    # Clamp the transition's gather indices (attr rows, merged env rows) to
+    # row 0 for lanes that cannot consume the gathered value this
+    # transition: lanes mid-shadow-traversal, dead lanes awaiting regen,
+    # and (for the env rows) lanes that did not just finish a primary
+    # segment.  The gather still issues for all B lanes (static shapes),
+    # but the stale lanes' issues hit one cache-hot row instead of a cold
+    # random one — the round-18 anatomy prices the attr pair gather at
+    # 4.5 ns/lane vs the 1.5 ns coherent floor, so index entropy is the
+    # cost.  Films are bit-identical by construction: every consumer of
+    # the gathered rows is already masked by shade/env_done/light_done
+    # (tests/test_pallas_transition.py::test_mask_stale_gathers_film_identical,
+    # tests/test_features.py::test_mask_stale_gathers_identical_with_lights).
+    # Hardware A/B (round 19, te8 ptrans pool 96k spp 32): 15.58 -> 15.81
+    # Mrays/s (+1.4%), film bit-identical — shipped default ON.
+    mask_stale_gathers: bool = True
+
     # Prestep depth: 2 = root + child-slot select chain; 3 adds a THIRD
     # gather-free level via a bit-exact 3-limb bf16 one-hot MXU matmul over
     # the 256 grandchild slots (accel.wide16.derive_top3_limbs) — the

@@ -311,12 +311,13 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     # miss lanes and NEE lanes are disjoint, so ONE gather serves both,
     # scene.envmap.sample_env_transition) ---
     env_merged = env_nee and config.has_environment_texture
+    mask_stale = bool(getattr(config, "mask_stale_gathers", False))
     if env_merged:
         want_alias = a & hit_valid
         (sky_raw, sky_pdf, env_dir, env_col, env_pdf,
          rng_state) = sample_env_transition(
             scene.env, params.environment_rotation, s.path_d, want_alias,
-            rng_state)
+            rng_state, need=a if mask_stale else None)
         intensity = jnp.where(s.depth > 0, params.environment_intensity, 1.0)
         sky_color = sky_raw * intensity[:, None]
         env_li = env_col * params.environment_intensity
@@ -351,6 +352,17 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
     sel_inst = jnp.where(a, s.trav.hit_inst, s.hit_inst)
 
     attr = jnp.maximum(sel_tri, 0)
+    if mask_stale:
+        # Lanes that consume the attr row this transition: freshly shaded
+        # primary hits, and shadow lanes whose traversal just finished
+        # (they re-derive the saved hit's material for the next NEE/BSDF
+        # stage).  Everyone else's index goes to the cache-hot row 0; all
+        # consumers are masked by shade/env_done/light_done so the film is
+        # bit-identical.
+        need_mat = (a & hit_valid) | (
+            ((s.mode == MODE_SHADOW_ENV) | (s.mode == MODE_SHADOW_LIGHT))
+            & shadow_done)
+        attr = jnp.where(need_mat, attr, 0)
     oct_mode = int(getattr(config, "attr_compact", 0) or 0) == 3
     if oct_mode:
         # Mode 3: 16-byte rows (3 oct16x2 vertex normals + material), four
@@ -985,9 +997,11 @@ def _transition_pallas(scene, config: RenderConfig, params: RenderParams,
     a = (s.mode == MODE_PRIMARY) & trav_done
     hit_valid = s.trav.tri >= 0
     want_alias = a & hit_valid
+    mask_stale = bool(getattr(config, "mask_stale_gathers", False))
     (sky_raw, sky_pdf, env_dir, env_col, env_pdf,
      rng_state) = sample_env_transition(
-        scene.env, params.environment_rotation, s.path_d, want_alias, s.rng)
+        scene.env, params.environment_rotation, s.path_d, want_alias, s.rng,
+        need=a if mask_stale else None)
     intensity = jnp.where(s.depth > 0, params.environment_intensity, 1.0)
     sky_color = sky_raw * intensity[:, None]
     env_li = env_col * params.environment_intensity
@@ -995,6 +1009,12 @@ def _transition_pallas(scene, config: RenderConfig, params: RenderParams,
     # Attr fetch: identical to _transition's attr_compact == 2 / 3 paths.
     sel_tri = jnp.where(a, s.trav.tri, s.hit_tri)
     attr = jnp.maximum(sel_tri, 0)
+    if mask_stale:
+        shadow_done = trav_done | s.trav.found
+        need_mat = (a & hit_valid) | (
+            ((s.mode == MODE_SHADOW_ENV) | (s.mode == MODE_SHADOW_LIGHT))
+            & shadow_done)
+        attr = jnp.where(need_mat, attr, 0)
     if int(config.attr_compact) == 3:
         # 16-byte oct-normal rows, four tris per gathered 64-byte row
         # (quarter the mode-2 footprint — random-gather pricing keys on
@@ -1480,7 +1500,14 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
 @functools.partial(jax.jit, static_argnums=(1,))
 def fused_pass_and_accumulate(scene, config: RenderConfig,
                               params: RenderParams, film: ufilm.Film):
-    total, _occ, _r, _a = fused_pass_with_stats(scene, config, params,
-                                                jnp.max(film.sample_count))
+    """One progressive pass accumulated into ``film``.
+
+    Returns ``(film, occupancy, rays, arrivals)`` — the pass stats ride
+    along as three scalars (they are already computed inside the pass;
+    the viewer's live stats panel reads them, Graphy analogue
+    ``GraphyManager.cs:32``).  Callers that only want the film take
+    ``[0]``."""
+    total, occ, rays, arr = fused_pass_with_stats(scene, config, params,
+                                                  jnp.max(film.sample_count))
     total = total.reshape(config.height, config.width, 3)
-    return ufilm.accumulate(film, total, config.samples_per_pass)
+    return ufilm.accumulate(film, total, config.samples_per_pass), occ, rays, arr

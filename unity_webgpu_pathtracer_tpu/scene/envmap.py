@@ -270,7 +270,8 @@ def empty_envmap() -> EnvMap:
     )
 
 
-def sample_env_transition(env: EnvMap, rotation, directions, want_alias, state):
+def sample_env_transition(env: EnvMap, rotation, directions, want_alias, state,
+                          need=None):
     """The fused transition's entire environment interaction in ONE gather.
 
     Miss lanes and env-NEE lanes are disjoint, so a single index vector into
@@ -278,6 +279,12 @@ def sample_env_transition(env: EnvMap, rotation, directions, want_alias, state):
     (cols 8:20) at their direction's texel, NEE lanes read the alias row
     (cols 0:8) at their sampled bin. Falls back to the separate paths when
     the merged table is disabled (very large envs).
+
+    ``need`` (optional bool mask): lanes whose result is actually consumed
+    this transition.  When given, the other lanes' gather index is clamped
+    to row 0 (cache-hot) — the gather unit prices index entropy, not row
+    count (``RenderConfig.mask_stale_gathers``).  Callers must only pass a
+    mask that covers every lane whose sky_*/nee_* output feeds the film.
 
     Returns ``(sky_color, sky_pdf, nee_dir, nee_color, nee_pdf, state)`` —
     sky_* valid on ~want_alias lanes, nee_* on want_alias lanes.
@@ -314,6 +321,8 @@ def sample_env_transition(env: EnvMap, rotation, directions, want_alias, state):
     x0i, y0i, fx, fy = _bilerp_coords(h, w, uv)
     sky_idx = y0i * w + x0i
     idx = jnp.where(want_alias, bin_, sky_idx)
+    if need is not None:
+        idx = jnp.where(need, idx, 0)
     row = env.merged_rows[idx]                                  # (B, 20)
 
     # NEE half (alias method).

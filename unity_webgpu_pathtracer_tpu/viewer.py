@@ -67,6 +67,11 @@ class Viewer:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.passes = 0
+        # Live runtime stats (Graphy analogue, GraphyManager.cs:32):
+        # EMA of seconds/pass measured around the blocking step, plus the
+        # renderer's last-pass occupancy/ray count.
+        self.pass_s = 0.0
+        self.rays_per_s = 0.0
         # Cold-start tiering (VERDICT r4 item 9): the production fused
         # executable's first compile costs 36-1084 s through the axon
         # tunnel, while the arrival_fori variant compiles ~5x faster at
@@ -136,8 +141,18 @@ class Viewer:
                         tr[1, 3] = 0.4 + abs(np.sin(phase + i)) * 1.2
                         self.r.update_instance_transform(i, tr)
                 if self.r.sample_count < self.max_spp:
+                    t1 = time.perf_counter()
                     self.r.step()
+                    if self.r.last_rays is not None:
+                        self.r.last_rays.block_until_ready()
+                    dt = time.perf_counter() - t1
                     self.passes += 1
+                    ema = 0.3 if self.pass_s else 1.0
+                    self.pass_s += ema * (dt - self.pass_s)
+                    st = self.r.stats()
+                    if st and self.pass_s > 0:
+                        self.rays_per_s = st["rays"] / self.pass_s
+                        self._occ = st.get("occupancy", 0.0)
                     work = True
                 else:
                     work = False
@@ -196,6 +211,10 @@ class Viewer:
                     "width": self.r.config.width,
                     "height": self.r.config.height,
                     "bounce": self.bounce,
+                    "stats": {"pass_s": round(self.pass_s, 3),
+                              "mrays_per_s": round(self.rays_per_s / 1e6, 2),
+                              "occupancy": round(getattr(self, "_occ", 0.0), 3),
+                              "tier": "fori" if self.tiered else "production"},
                     "materials": mats}
 
 
@@ -229,7 +248,13 @@ function vsub(a,b){return a.map((x,i)=>x-b[i]);} function vadd(a,b){return a.map
 function dirFrom(yaw,pitch){return [Math.cos(pitch)*Math.sin(yaw),Math.sin(pitch),-Math.cos(pitch)*Math.cos(yaw)];}
 async function state(){
   const s=await (await fetch('/state')).json();
-  document.getElementById('spp').textContent=s.spp+' spp';
+  let t=s.spp+' spp';
+  if(s.stats && s.stats.pass_s>0){
+    t+=' · '+s.stats.pass_s.toFixed(2)+' s/pass · '+s.stats.mrays_per_s.toFixed(1)
+      +' Mrays/s · occ '+s.stats.occupancy.toFixed(2)
+      +(s.stats.tier=='fori'?' · warming…':'');
+  }
+  document.getElementById('spp').textContent=t;
   if(!cam){ cam=s.cam; const d=vsub(cam.target,cam.eye);
     dist=Math.hypot(...d); yaw=Math.atan2(d[0],-d[2]); pitch=Math.asin(d[1]/dist);
     mats=s.materials; const sel=document.getElementById('mat');
