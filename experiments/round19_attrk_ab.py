@@ -1,0 +1,82 @@
+"""A/B of ``attr_in_kernel``: raw attr pair rows into the Pallas
+transition kernel + exact in-kernel f16 decode, replacing XLA's
+halfword-split/stack/bitcast/convert/transpose staging (~0.15 ms/super:
+fusion.287 70 us + copy-done.1 40 us + copy.154 14 us in the round-19
+HLO map) — the transition-kernel twin of the arrival kernel's
+transpose_in_kernel (+24% there, round 10).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/round19_attrk_ab.py
+Env: SPP (default 32), POOL (default 3<<15), TE (default 8).
+"""
+
+import dataclasses
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+os.environ.setdefault("UWPT_BVH_CACHE_DIR", os.path.join(_ROOT, ".bvh_cache"))
+
+from unity_webgpu_pathtracer_tpu.config import SKY_MODE_ENVIRONMENT, RenderConfig  # noqa: E402
+from unity_webgpu_pathtracer_tpu.models.benchmark import million_triangle_scene  # noqa: E402
+from unity_webgpu_pathtracer_tpu.render.camera import make_camera_params  # noqa: E402
+from unity_webgpu_pathtracer_tpu.render.fused import fused_pass_with_stats  # noqa: E402
+
+POOL = int(os.environ.get("POOL", 3 << 15))
+SPP = int(os.environ.get("SPP", 32))
+TE = int(os.environ.get("TE", 8))
+
+
+def main():
+    scene, cam = million_triangle_scene(1_000_000)
+    sd = scene.build("wide16")
+    params = make_camera_params(width=1920, height=1080, **cam)
+    base = RenderConfig(
+        width=1920, height=1080, samples_per_pass=SPP, max_bounces=5,
+        traversal="wide16", sky_mode=SKY_MODE_ENVIRONMENT,
+        has_environment_texture=True, use_russian_roulette=True,
+        integrator="fused", pool_size=POOL, transition_every=TE,
+        use_prestep=True, use_pallas_arrival=True,
+        use_pallas_transition=True,
+    )
+    variants = [
+        ("warmup(base)", base),
+        ("base        ", base),
+        ("attr_kernel ", dataclasses.replace(base, attr_in_kernel=True)),
+    ]
+    films = {}
+    for name, config in variants:
+        @jax.jit
+        def one_pass(sd, params, cs, config=config):
+            return fused_pass_with_stats(sd, config, params, cs,
+                                         pool_size=POOL)
+        ts = []
+        for i in range(4):
+            p = dataclasses.replace(params, seed_root=jnp.uint32(1234 + 7 * i))
+            t0 = time.perf_counter()
+            out = one_pass(sd, p, 0)
+            fsum = float(np.asarray(out[0]).sum())
+            ts.append(time.perf_counter() - t0)
+            if i == 0:
+                films[name] = np.asarray(out[0])
+        dt = min(ts[1:])
+        rays = int(np.asarray(out[2]))
+        print(f"{name:14s} pass {dt:6.2f} s  occ {float(np.asarray(out[1])):.3f} "
+              f"({rays / dt / 1e6:.2f} Mrays/s)  film {fsum:.6g}", flush=True)
+    ref = films["base        "]
+    for name, f in films.items():
+        if name in ("base        ", "warmup(base)"):
+            continue
+        d = np.abs(ref - f)
+        rel = d.max() / max(np.abs(ref).max(), 1e-20)
+        print(f"{name}: film max|diff| {d.max():.3e} (rel {rel:.2e}) "
+              f"{'OK (ulp-class)' if rel < 1e-4 else 'DIVERGED'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,43 @@ def test_fused_film_pallas_transition_multi_pass(small_scene):
 
 
 @pytest.mark.smoke
+def test_f16_decode_exact_all_patterns():
+    """ops.pallas_transition._f16_decode is bit-exact vs XLA's
+    bitcast-f16 + convert-f32 over ALL 65536 halfword patterns (normals,
+    subnormals, +-0, inf, NaN)."""
+    import jax.numpy as jnp
+
+    h = np.arange(65536, dtype=np.int32)
+    got = np.asarray(pt._f16_decode(jnp.asarray(h)))
+    ref = np.frombuffer(h.astype(np.uint16).tobytes(),
+                        dtype=np.float16).astype(np.float32)
+    np.testing.assert_array_equal(got.view(np.uint32), ref.view(np.uint32))
+
+
+@pytest.mark.smoke
+def test_fused_film_attr_in_kernel_matches(small_scene):
+    """attr_in_kernel (raw pair rows + in-kernel f16 decode) vs the
+    XLA-decoded shade_rowT feed: the decode itself is bit-exact (see
+    test_f16_decode_exact_all_patterns), so control flow (rays/arrivals/
+    occupancy and the RNG stream behind them) matches EXACTLY; the film
+    is ulp-close (XLA contracts the normal-interp FMAs differently for
+    the two input producers, same as the other kernel-boundary tests)."""
+    sd, params = small_scene
+    films = {}
+    stats = {}
+    for flag in (False, True):
+        cfg = _bench_like_config(use_pallas_transition=True,
+                                 attr_in_kernel=flag)
+        step = jax.jit(fused.fused_pass_with_stats, static_argnums=(1,))
+        film, occ, rays, arr = step(sd, cfg, params, 0)
+        films[flag] = np.asarray(film)
+        stats[flag] = (int(rays), int(arr), float(occ))
+    assert stats[False] == stats[True]
+    np.testing.assert_allclose(films[True], films[False], rtol=2e-5,
+                               atol=1e-6)
+
+
+@pytest.mark.smoke
 @pytest.mark.parametrize("ptrans", [False, True])
 def test_mask_stale_gathers_film_identical(small_scene, ptrans):
     """mask_stale_gathers clamps the attr/env gather index to row 0 for

@@ -289,6 +289,27 @@ class RenderConfig:
     # Mrays/s (+1.4%), film bit-identical — shipped default ON.
     mask_stale_gathers: bool = True
 
+    # Materialize the transition's attr pair gather in its natural
+    # row-major layout (optimization_barrier right after the gather)
+    # instead of letting XLA fuse the Pallas-kernel-feed transpose INTO
+    # the gather: the round-19 HLO map shows fusion.282 emitting
+    # u32[B,16]{0,1} (transposed) at 4.5 ns/lane while the same-shaped
+    # env gather emits {1,0} at the 1.5 ns floor plus a cheap 38 us
+    # layout copy.  Identity op — films bit-identical.
+    # Measured round 19: LOSES 4.5% — the transposing gather is the cheap
+    # fused form (kept as a documented-dead probe flag).
+    attr_row_barrier: bool = False
+
+    # Feed the Pallas transition kernel the RAW gathered attr pair rows
+    # (u32 planes) and decode the f16 vertex normals in-kernel
+    # (ops/pallas_transition._f16_decode, bit-exact vs XLA's
+    # bitcast+convert), instead of XLA's halfword-split/stack/bitcast/
+    # convert staging (~0.15 ms/super of copies in the round-19 HLO map:
+    # fusion.287 + copy-done.1 + copy.154).  The same move as the arrival
+    # kernel's transpose_in_kernel (+24% there).  Pallas transition +
+    # attr_compact == 2 only; no-op otherwise.
+    attr_in_kernel: bool = False
+
     # Prestep depth: 2 = root + child-slot select chain; 3 adds a THIRD
     # gather-free level via a bit-exact 3-limb bf16 one-hot MXU matmul over
     # the 256 grandchild slots (accel.wide16.derive_top3_limbs) — the

@@ -560,23 +560,59 @@ def _sample_brdf(mat: MatP, onb, v, probs, state):
 # The kernel.
 # ---------------------------------------------------------------------------
 
-def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, *refs):
-    (mode_ref, done_ref, ptr_ref, pend_ref, sp_ref,
-     t_ref, u_ref, v_ref, tri_ref, found_ref,
-     trav_oT_ref, trav_dT_ref,
-     path_oT_ref, path_dT_ref,
-     hit_t_ref, hit_baryT_ref, hit_tri_ref,
-     pendingT_ref, throughputT_ref, radianceT_ref,
-     rng_ref, depth_ref, max_rough_ref, prev_pdf_ref, cap_ref,
-     shade_rowT_ref, mdataT_ref,
-     sky_colT_ref, sky_pdf_ref, env_dirT_ref, env_liT_ref, env_pdf_ref,
-     ffly_ref,
-     o_mode, o_ptr, o_pend, o_sp, o_t, o_u, o_v, o_tri, o_found,
-     o_trav_oT, o_trav_dT, o_path_oT, o_path_dT,
-     o_hit_t, o_hit_baryT, o_hit_tri,
-     o_pendingT, o_throughputT, o_radianceT, o_rad_outT,
-     o_rng, o_depth, o_max_rough, o_prev_pdf, o_cap,
-     o_died, o_nray) = refs
+def _f16_decode(h):
+    """Exact f16 -> f32 on an i32 halfword value (0..65535): normals
+    (exponent rebias), subnormals (exact 10-bit int -> f32 product), and
+    inf/NaN (e=31) — bit-identical to XLA's bitcast-f16 + convert-f32
+    (the path this replaces in render/fused.py::_transition_pallas)."""
+    s = (h >> 15) & 1
+    e = (h >> 10) & 0x1F
+    m = h & 0x3FF
+    bits = (s << 31) | ((e + 112) << 23) | (m << 13)
+    bits = jnp.where(e == 31, (s << 31) | (0xFF << 23) | (m << 13), bits)
+    v = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    m_f = m.astype(jnp.float32) * _F32(2.0 ** -24)
+    v_sub = jnp.where(s != 0, -m_f, m_f)
+    return jnp.where(e == 0, v_sub, v)
+
+
+def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, attr_raw,
+                       *refs):
+    if attr_raw:
+        (mode_ref, done_ref, ptr_ref, pend_ref, sp_ref,
+         t_ref, u_ref, v_ref, tri_ref, found_ref,
+         trav_oT_ref, trav_dT_ref,
+         path_oT_ref, path_dT_ref,
+         hit_t_ref, hit_baryT_ref, hit_tri_ref,
+         pendingT_ref, throughputT_ref, radianceT_ref,
+         rng_ref, depth_ref, max_rough_ref, prev_pdf_ref, cap_ref,
+         pairT_ref, parity_ref, mdataT_ref,
+         sky_colT_ref, sky_pdf_ref, env_dirT_ref, env_liT_ref, env_pdf_ref,
+         ffly_ref,
+         o_mode, o_ptr, o_pend, o_sp, o_t, o_u, o_v, o_tri, o_found,
+         o_trav_oT, o_trav_dT, o_path_oT, o_path_dT,
+         o_hit_t, o_hit_baryT, o_hit_tri,
+         o_pendingT, o_throughputT, o_radianceT, o_rad_outT,
+         o_rng, o_depth, o_max_rough, o_prev_pdf, o_cap,
+         o_died, o_nray) = refs
+        shade_rowT_ref = None
+    else:
+        (mode_ref, done_ref, ptr_ref, pend_ref, sp_ref,
+         t_ref, u_ref, v_ref, tri_ref, found_ref,
+         trav_oT_ref, trav_dT_ref,
+         path_oT_ref, path_dT_ref,
+         hit_t_ref, hit_baryT_ref, hit_tri_ref,
+         pendingT_ref, throughputT_ref, radianceT_ref,
+         rng_ref, depth_ref, max_rough_ref, prev_pdf_ref, cap_ref,
+         shade_rowT_ref, mdataT_ref,
+         sky_colT_ref, sky_pdf_ref, env_dirT_ref, env_liT_ref, env_pdf_ref,
+         ffly_ref,
+         o_mode, o_ptr, o_pend, o_sp, o_t, o_u, o_v, o_tri, o_found,
+         o_trav_oT, o_trav_dT, o_path_oT, o_path_dT,
+         o_hit_t, o_hit_baryT, o_hit_tri,
+         o_pendingT, o_throughputT, o_radianceT, o_rad_outT,
+         o_rng, o_depth, o_max_rough, o_prev_pdf, o_cap,
+         o_died, o_nray) = refs
 
     def p3(ref):
         a = ref[:]
@@ -619,8 +655,23 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, *refs):
     b0 = jnp.where(a, u_in, hit_bary[0])
     b1 = jnp.where(a, v_in, hit_bary[1])
     sel_t = jnp.where(a, t_in, hit_t_ref[:])
-    sr_all = shade_rowT_ref[:]
-    sr = [sr_all[SUB * i:SUB * (i + 1)] for i in range(9)]
+    if attr_raw:
+        # Raw 64-byte attr pair rows (u32 planes, int view): select this
+        # tri's 8-word half by parity, split halfwords, exact f16 decode
+        # — the XLA decode + kernel-feed staging this replaces was
+        # ~0.15 ms/super of copies/bitcasts (round-19 HLO map).
+        pw_all = pairT_ref[:]
+        pw = [pw_all[SUB * i:SUB * (i + 1)] for i in range(16)]
+        even = parity_ref[:] == 0
+        sr = []
+        for w in range(5):                      # halfwords 0..9 (need 0..8)
+            word = jnp.where(even, pw[w], pw[8 + w])
+            sr.append(_f16_decode(word & 0xFFFF))
+            sr.append(_f16_decode((word >> 16) & 0xFFFF))
+        sr = sr[:9]
+    else:
+        sr_all = shade_rowT_ref[:]
+        sr = [sr_all[SUB * i:SUB * (i + 1)] for i in range(9)]
     w0 = 1.0 - b0 - b1
     normal = _vnormalize((sr[0] * w0 + sr[3] * b0 + sr[6] * b1,
                           sr[1] * w0 + sr[4] * b0 + sr[7] * b1,
@@ -876,15 +927,22 @@ def transition_step16_pallas(
     hit_t, hit_baryT, hit_tri,
     pendingT, throughputT, radianceT,
     rng, depth, max_rough, prev_pdf, lane_cap,
-    shade_rowT, mdataT,
+    mdataT,
     sky_colT, sky_pdf, env_dirT, env_liT, env_pdf,
     use_rr: bool, max_bounces: int,
+    shade_rowT=None, pairT=None, parity=None,
     firefly: bool = False, firefly_max=None, nan_canary: bool = False,
     interpret: bool = False,
 ) -> TransitionOut:
     """One fused transition on pre-gathered inputs.  All (3, B)/(2, B)
     operands are transposed planes; cols are (B,).  See module docstring
-    for what stays outside."""
+    for what stays outside.
+
+    Attr rows enter EITHER pre-decoded (``shade_rowT``, (15, B) f32 unit
+    vertex normals + uv) OR raw (``pairT`` (16, B) int view of the
+    gathered 64-byte pair rows + ``parity`` = tri & 1): the raw form
+    skips XLA's halfword-split/bitcast/convert/transpose staging and
+    decodes the f16 normals in-kernel (``_f16_decode``, bit-exact)."""
     b = mode.shape[0]
     blk = BLK
     while b % blk:
@@ -921,6 +979,17 @@ def transition_step16_pallas(
     ffly = jnp.reshape(jnp.asarray(
         firefly_max if firefly_max is not None else 0.0, f32), (1,))
 
+    attr_raw = pairT is not None
+    assert attr_raw != (shade_rowT is not None), \
+        "pass exactly one of shade_rowT / (pairT, parity)"
+    if attr_raw:
+        attr_ins = [rp(jax.lax.bitcast_convert_type(pairT, i32)),
+                    r2(parity.astype(i32))]
+        attr_specs = [plane(16), col()]
+    else:
+        attr_ins = [rp(shade_rowT)]
+        attr_specs = [plane(15)]
+
     ins = [r2(mode), r2(trav_done.astype(i32)), r2(ptr), r2(pend), r2(sp),
            r2(t), r2(u), r2(v), r2(tri),
            r2(found.astype(i32)),
@@ -928,14 +997,14 @@ def transition_step16_pallas(
            r2(hit_t), rp(hit_baryT), r2(hit_tri),
            rp(pendingT), rp(throughputT), rp(radianceT),
            r2(rng), r2(depth), r2(max_rough), r2(prev_pdf), r2(lane_cap),
-           rp(shade_rowT), rp(mdataT),
+           *attr_ins, rp(mdataT),
            rp(sky_colT), r2(sky_pdf), rp(env_dirT), rp(env_liT), r2(env_pdf),
            ffly]
     in_specs = ([col()] * 10 + [plane(3)] * 4
                 + [col(), plane(2), col()]
                 + [plane(3)] * 3
                 + [col()] * 5
-                + [plane(15), plane(22)]
+                + attr_specs + [plane(22)]
                 + [plane(3), col(), plane(3), plane(3), col()]
                 + [pl.BlockSpec((1,), lambda i: (0,),
                                 memory_space=pltpu.SMEM)])
@@ -954,7 +1023,7 @@ def transition_step16_pallas(
                  + [col()] * 7)
     outs = pl.pallas_call(
         functools.partial(_transition_kernel, use_rr, max_bounces,
-                          firefly, nan_canary),
+                          firefly, nan_canary, attr_raw),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -1039,15 +1039,37 @@ def _transition_pallas(scene, config: RenderConfig, params: RenderParams,
         table = (attr_pair if attr_pair is not None
                  else scene.attr_shade_c.reshape(-1, 16))
         pair = table[attr // 2]
-        rowc = jnp.where((attr % 2 == 0)[:, None], pair[:, 0:8],
-                         pair[:, 8:16])
-        lo = (rowc & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-        hi = (rowc >> jnp.uint32(16)).astype(jnp.uint16)
-        half = jnp.stack([lo, hi], axis=-1).reshape(b, 16)
-        shade_row = jax.lax.bitcast_convert_type(
-            half[:, 0:15], jnp.float16).astype(jnp.float32)
-        mat_idx = half[:, 15].astype(jnp.int32)
+        if getattr(config, "attr_row_barrier", False):
+            # Pin the gather to its natural row-major layout; the
+            # kernel-feed transpose becomes a separate (cheap) copy
+            # instead of a degenerate transposing gather (round-19 HLO
+            # map: {0,1}-emitting gather at 4.5 ns/lane vs the 1.5 ns
+            # floor).  Identity — films bit-identical.
+            # Measured round 19: LOSES 4.5% (probe flag, default off).
+            pair = jax.lax.optimization_barrier(pair)
+        if getattr(config, "attr_in_kernel", False):
+            # Raw rows into the kernel; the only XLA-side decode is the
+            # material index (hi16 of word 7 of this tri's half).
+            attr_raw = (pair.T, (attr % 2).astype(jnp.int32))
+            w7 = jnp.where(attr % 2 == 0, pair[:, 7], pair[:, 15])
+            mat_idx = (w7 >> jnp.uint32(16)).astype(jnp.int32)
+        else:
+            attr_raw = None
+            rowc = jnp.where((attr % 2 == 0)[:, None], pair[:, 0:8],
+                             pair[:, 8:16])
+            lo = (rowc & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+            hi = (rowc >> jnp.uint32(16)).astype(jnp.uint16)
+            half = jnp.stack([lo, hi], axis=-1).reshape(b, 16)
+            shade_row = jax.lax.bitcast_convert_type(
+                half[:, 0:15], jnp.float16).astype(jnp.float32)
+            mat_idx = half[:, 15].astype(jnp.int32)
     mdata = gather_small(scene.materials, jnp.maximum(mat_idx, 0))
+
+    if int(config.attr_compact) != 3 and getattr(config, "attr_in_kernel",
+                                                 False):
+        attr_kw = dict(pairT=attr_raw[0], parity=attr_raw[1])
+    else:
+        attr_kw = dict(shade_rowT=shade_row.T)
 
     kout = _pt.transition_step16_pallas(
         mode=s.mode, trav_done=trav_done,
@@ -1061,7 +1083,7 @@ def _transition_pallas(scene, config: RenderConfig, params: RenderParams,
         radianceT=s.radiance.T,
         rng=rng_state, depth=s.depth, max_rough=s.max_roughness,
         prev_pdf=s.prev_pdf, lane_cap=s.lane_cap,
-        shade_rowT=shade_row.T, mdataT=mdata[:, 0:22].T,
+        mdataT=mdata[:, 0:22].T, **attr_kw,
         sky_colT=sky_color.T, sky_pdf=sky_pdf,
         env_dirT=env_dir.T, env_liT=env_li.T, env_pdf=env_pdf,
         use_rr=config.use_russian_roulette, max_bounces=config.max_bounces,
