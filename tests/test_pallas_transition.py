@@ -168,6 +168,26 @@ def test_fused_film_attr_in_kernel_matches(small_scene):
 
 
 @pytest.mark.smoke
+def test_pool_rounded_to_1024_with_pallas(small_scene):
+    """Pools not divisible by 1024 fail Mosaic layout verification on
+    hardware (XLA tiles (B,) as T(1024); observed on cornell 48x48 @
+    2 spp -> B=4608).  With Pallas kernels on, the pool is rounded up —
+    and per-sample radiance is (pixel, sample)-seeded, so the film is
+    EXACTLY the pool-independent result."""
+    sd, params = small_scene
+    films = {}
+    for pool in (1152, 2048):  # 1152 would fail Mosaic un-rounded
+        cfg = _bench_like_config(use_pallas_transition=True, pool_size=pool)
+        step = jax.jit(fused.fused_pass_with_stats, static_argnums=(1,))
+        film, *_ = step(sd, cfg, params, 0)
+        films[pool] = np.asarray(film)
+    # 1152 rounds UP to 2048 -> the two runs are the same program; a
+    # missing round would change record grouping (1-ulp film sums) and
+    # fail Mosaic layout verification on hardware.
+    np.testing.assert_array_equal(films[1152], films[2048])
+
+
+@pytest.mark.smoke
 @pytest.mark.parametrize("ptrans", [False, True])
 def test_mask_stale_gathers_film_identical(small_scene, ptrans):
     """mask_stale_gathers clamps the attr/env gather index to row 0 for

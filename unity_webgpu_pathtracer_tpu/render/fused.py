@@ -1212,6 +1212,15 @@ def fused_pass_with_stats(scene, config: RenderConfig, params: RenderParams,
     # occupancy 0.976 -> 0.993 now that per-wave kernels are cheap; 32k
     # flips negative on per-wave fixed costs).
     b = pool_size or config.pool_size or min(budget, 3 << 15)
+    if config.use_pallas_arrival or config.use_pallas_transition:
+        # Mosaic verifies (B,) operand layouts against XLA's T(1024)
+        # 1-D tiling: a pool not divisible by 1024 fails kernel layout
+        # verification on hardware (observed: 48x48 @ 2spp -> B=4608,
+        # "XLA layout {0:T(1024)} does not match Mosaic {0:T(512)}").
+        # Rounding up is radiometrically free — per-sample radiance is
+        # keyed on (pixel, sample) seeds, and extra lanes just drain the
+        # same work queue.
+        b = (b + 1023) & ~1023
     use_v2 = config.traversal == "wide2"
     use_v8 = config.traversal == "wide8"
     use_v16 = config.traversal == "wide16"
