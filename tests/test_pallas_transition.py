@@ -209,6 +209,27 @@ def test_mask_stale_gathers_film_identical(small_scene, ptrans):
     np.testing.assert_array_equal(films[True], films[False])
 
 
+@pytest.mark.smoke
+@pytest.mark.parametrize("ptrans", [False, True])
+def test_env_split_rows_film_identical(small_scene, ptrans):
+    """env_split_rows extracts the merged-env-row fields from the
+    transposed gather result (contiguous (B,) slices) instead of strided
+    [B, j] columns.  Per-element values and op order are identical, so
+    the film and every counter must be EXACTLY identical."""
+    sd, params = small_scene
+    films = {}
+    stats = {}
+    for flag in (False, True):
+        cfg = _bench_like_config(use_pallas_transition=ptrans,
+                                 env_split_rows=flag)
+        step = jax.jit(fused.fused_pass_with_stats, static_argnums=(1,))
+        film, occ, rays, arr = step(sd, cfg, params, 0)
+        films[flag] = np.asarray(film)
+        stats[flag] = (int(rays), int(arr), float(occ))
+    assert stats[False] == stats[True]
+    np.testing.assert_array_equal(films[True], films[False])
+
+
 def test_pallas_transition_firefly_and_canary(small_scene):
     """Static firefly / NaN-canary variants run through the kernel too."""
     sd, params = small_scene

@@ -289,6 +289,16 @@ class RenderConfig:
     # Mrays/s (+1.4%), film bit-identical — shipped default ON.
     mask_stale_gathers: bool = True
 
+    # Extract the merged-env-row fields from the TRANSPOSED gather result
+    # (contiguous (B,) sublane slices) instead of strided [B, j] columns,
+    # which XLA lowers to 16-iteration slice loops — the round-2
+    # column-extract pathology, re-found by the round-20 trace: the
+    # alias-index extract alone runs 70 us/super and forces a 40 us
+    # duplicated row-major layout copy of the gather result.  Per-element
+    # values and op order are identical -> films bit-identical
+    # (tests/test_pallas_transition.py::test_env_split_rows_film_identical).
+    env_split_rows: bool = False
+
     # Materialize the transition's attr pair gather in its natural
     # row-major layout (optimization_barrier right after the gather)
     # instead of letting XLA fuse the Pallas-kernel-feed transpose INTO

@@ -317,7 +317,8 @@ def _transition(scene, config: RenderConfig, params: RenderParams,
         (sky_raw, sky_pdf, env_dir, env_col, env_pdf,
          rng_state) = sample_env_transition(
             scene.env, params.environment_rotation, s.path_d, want_alias,
-            rng_state, need=a if mask_stale else None)
+            rng_state, need=a if mask_stale else None,
+            split=bool(getattr(config, "env_split_rows", False)))
         intensity = jnp.where(s.depth > 0, params.environment_intensity, 1.0)
         sky_color = sky_raw * intensity[:, None]
         env_li = env_col * params.environment_intensity
@@ -1001,7 +1002,8 @@ def _transition_pallas(scene, config: RenderConfig, params: RenderParams,
     (sky_raw, sky_pdf, env_dir, env_col, env_pdf,
      rng_state) = sample_env_transition(
         scene.env, params.environment_rotation, s.path_d, want_alias, s.rng,
-        need=a if mask_stale else None)
+        need=a if mask_stale else None,
+        split=bool(getattr(config, "env_split_rows", False)))
     intensity = jnp.where(s.depth > 0, params.environment_intensity, 1.0)
     sky_color = sky_raw * intensity[:, None]
     env_li = env_col * params.environment_intensity

@@ -271,7 +271,7 @@ def empty_envmap() -> EnvMap:
 
 
 def sample_env_transition(env: EnvMap, rotation, directions, want_alias, state,
-                          need=None):
+                          need=None, split=False):
     """The fused transition's entire environment interaction in ONE gather.
 
     Miss lanes and env-NEE lanes are disjoint, so a single index vector into
@@ -285,6 +285,15 @@ def sample_env_transition(env: EnvMap, rotation, directions, want_alias, state,
     to row 0 (cache-hot) — the gather unit prices index entropy, not row
     count (``RenderConfig.mask_stale_gathers``).  Callers must only pass a
     mask that covers every lane whose sky_*/nee_* output feeds the film.
+
+    ``split`` (``RenderConfig.env_split_rows``): extract every field from
+    the TRANSPOSED row — a contiguous (B,) sublane slice of the
+    {0,1}-layout gather result — instead of strided ``[B, j]`` columns,
+    which XLA lowers to 16-iteration slice loops (the round-2
+    column-extract pathology; the round-20 trace prices the alias-index
+    extract alone at 70 us/super, plus a 40 us duplicated row-major layout
+    copy).  Per-element values and op order are identical — films are
+    bit-identical.
 
     Returns ``(sky_color, sky_pdf, nee_dir, nee_color, nee_pdf, state)`` —
     sky_* valid on ~want_alias lanes, nee_* on want_alias lanes.
@@ -324,6 +333,40 @@ def sample_env_transition(env: EnvMap, rotation, directions, want_alias, state,
     if need is not None:
         idx = jnp.where(need, idx, 0)
     row = env.merged_rows[idx]                                  # (B, 20)
+
+    if split:
+        # All extracts off the transposed row: each field is a contiguous
+        # (B,) slice (the transpose fuses into the gather, whose {0,1}
+        # output the kernel-feed path wants anyway).  The bitcast rides
+        # the full-width (B,) vector — same data-movement-only path the
+        # unsplit [B, 1] column took (integer bit patterns must never
+        # enter f32 COMPUTE lowering: the TPU denormal-flush rule).
+        rowT = row.T                                            # (20, B)
+        take_alias = u2 >= rowT[0]
+        alias_idx = jax.lax.bitcast_convert_type(rowT[1], jnp.int32)
+        a_idx = jnp.where(take_alias, alias_idx, bin_)
+        nee_color = jnp.stack(
+            [jnp.where(take_alias, rowT[5 + c], rowT[2 + c])
+             for c in range(3)], axis=-1)
+        _uv_a, nee_dir, sin_a = _texel_direction_pdf(env, a_idx, rotation)
+        nee_pdf = luminance(nee_color) / jnp.maximum(env.cdf_sum, 1e-20)
+        nee_pdf = nee_pdf * (w * h) / jnp.maximum(TWO_PI * PI * sin_a, 1e-8)
+        nee_pdf = jnp.where(sin_a <= 0.0, 0.0, nee_pdf)
+        # Sky half, per component (identical per-element op order ->
+        # bit-identical to the (B, 3) form below; fx/fy arrive (B, 1) for
+        # the (B, 3) broadcast and are squeezed to (B,) here).
+        fxs, fys = fx[..., 0], fy[..., 0]
+        sky_color = jnp.stack(
+            [(rowT[8 + c] * (1 - fxs) + rowT[11 + c] * fxs) * (1 - fys)
+             + (rowT[14 + c] * (1 - fxs) + rowT[17 + c] * fxs) * fys
+             for c in range(3)], axis=-1)
+        sin_theta = jnp.sin(theta)
+        sky_pdf = (
+            luminance(sky_color) / jnp.maximum(env.cdf_sum, 1e-20)
+            * (w * h) / jnp.maximum(TWO_PI * PI * sin_theta, 1e-8)
+        )
+        sky_pdf = jnp.where(sin_theta <= 0.0, 0.0, sky_pdf)
+        return sky_color, sky_pdf, nee_dir, nee_color, nee_pdf, state
 
     # NEE half (alias method).
     take_alias = u2 >= row[..., 0]
