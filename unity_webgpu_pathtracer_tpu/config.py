@@ -289,6 +289,17 @@ class RenderConfig:
     # Mrays/s (+1.4%), film bit-identical — shipped default ON.
     mask_stale_gathers: bool = True
 
+    # Feed the Pallas transition kernel 3-D (n, 8, 128) operands instead
+    # of 2-D (8, B/8): a (B,) array stored T(1024) is physically a
+    # sequence of (8, 128) vregs, so the 3-D reshape is a FREE bitcast
+    # (0 copies — experiments/round20_tile3d_probe.py) while the 2-D
+    # reshape is a strided relayout (~60-75 us/super of reshape kernels
+    # in the round-20 trace).  In-kernel rate is identical (9.21 vs 9.14
+    # ns/lane-chain, full vregs both ways); films are bit-identical (the
+    # kernel is per-lane elementwise and inputs/outputs share the lane
+    # map — tests/test_pallas_transition.py::test_tile3d_film_identical).
+    ptrans_tile3d: bool = False
+
     # Extract the merged-env-row fields from the TRANSPOSED gather result
     # (contiguous (B,) sublane slices) instead of strided [B, j] columns,
     # which XLA lowers to 16-iteration slice loops — the round-2

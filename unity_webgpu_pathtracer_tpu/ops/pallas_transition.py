@@ -614,9 +614,14 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, attr_raw,
          o_rng, o_depth, o_max_rough, o_prev_pdf, o_cap,
          o_died, o_nray) = refs
 
+    def comp(a, i):
+        """Component i of a multi-plane block: leading index in the 3-D
+        (R, k, 8, 128) layout, rows [8i, 8i+8) in the 2-D (R*8, cb) one."""
+        return a[i] if a.ndim == 4 else a[SUB * i:SUB * (i + 1)]
+
     def p3(ref):
         a = ref[:]
-        return (a[0:SUB], a[SUB:2 * SUB], a[2 * SUB:3 * SUB])
+        return (comp(a, 0), comp(a, 1), comp(a, 2))
 
     mode = mode_ref[:]
     trav_done = done_ref[:] != 0
@@ -651,7 +656,7 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, attr_raw,
 
     # --- unified hit frame: interp normal from the pre-gathered attr row ---
     hbary = hit_baryT_ref[:]
-    hit_bary = (hbary[0:SUB], hbary[SUB:2 * SUB])
+    hit_bary = (comp(hbary, 0), comp(hbary, 1))
     b0 = jnp.where(a, u_in, hit_bary[0])
     b1 = jnp.where(a, v_in, hit_bary[1])
     sel_t = jnp.where(a, t_in, hit_t_ref[:])
@@ -661,7 +666,7 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, attr_raw,
         # — the XLA decode + kernel-feed staging this replaces was
         # ~0.15 ms/super of copies/bitcasts (round-19 HLO map).
         pw_all = pairT_ref[:]
-        pw = [pw_all[SUB * i:SUB * (i + 1)] for i in range(16)]
+        pw = [comp(pw_all, i) for i in range(16)]
         even = parity_ref[:] == 0
         sr = []
         for w in range(5):                      # halfwords 0..9 (need 0..8)
@@ -671,7 +676,7 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, attr_raw,
         sr = sr[:9]
     else:
         sr_all = shade_rowT_ref[:]
-        sr = [sr_all[SUB * i:SUB * (i + 1)] for i in range(9)]
+        sr = [comp(sr_all, i) for i in range(9)]
     w0 = 1.0 - b0 - b1
     normal = _vnormalize((sr[0] * w0 + sr[3] * b0 + sr[6] * b1,
                           sr[1] * w0 + sr[4] * b0 + sr[7] * b1,
@@ -680,7 +685,7 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, attr_raw,
 
     # --- material derive (material.hlsl:84-137, untextured path) ---
     md_all = mdataT_ref[:]
-    md = [md_all[SUB * i:SUB * (i + 1)] for i in range(22)]
+    md = [comp(md_all, i) for i in range(22)]
     opacity = md[3]
     rough_m = jnp.maximum(md[9], 0.001)
     ior = jnp.clip(md[11], 1.001, 2.0)
@@ -853,7 +858,16 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, attr_raw,
     o_hit_t[:] = jnp.where(saved, t_in, hit_t_ref[:])
     hb0 = jnp.where(saved, u_in, hit_bary[0])
     hb1 = jnp.where(saved, v_in, hit_bary[1])
-    o_hit_baryT[:] = jnp.concatenate([hb0, hb1], axis=0)
+
+    def wplanes(ref, comps):
+        """Write per-component planes: stacked on a leading axis in the
+        3-D (R, k, 8, 128) layout, concatenated rows in the 2-D one."""
+        if len(ref.shape) == 4:
+            ref[:] = jnp.stack(comps, axis=0)
+        else:
+            ref[:] = jnp.concatenate(comps, axis=0)
+
+    wplanes(o_hit_baryT, [hb0, hb1])
     o_hit_tri[:] = jnp.where(saved, tri_in, hit_tri_ref[:])
 
     # radiance reset for accepted/regenerated lanes happens in the XLA
@@ -870,7 +884,7 @@ def _transition_kernel(use_rr, max_bounces, firefly, nan_canary, attr_raw,
     o_found[:] = found_out
 
     def w3(ref, vec):
-        ref[:] = jnp.concatenate([vec[0], vec[1], vec[2]], axis=0)
+        wplanes(ref, [vec[0], vec[1], vec[2]])
 
     w3(o_trav_oT, trav_o)
     w3(o_trav_dT, trav_d)
@@ -932,7 +946,7 @@ def transition_step16_pallas(
     use_rr: bool, max_bounces: int,
     shade_rowT=None, pairT=None, parity=None,
     firefly: bool = False, firefly_max=None, nan_canary: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, tile3d: bool = False,
 ) -> TransitionOut:
     """One fused transition on pre-gathered inputs.  All (3, B)/(2, B)
     operands are transposed planes; cols are (B,).  See module docstring
@@ -949,31 +963,69 @@ def transition_step16_pallas(
         blk //= 2
     assert blk >= MIN_BLK, f"pool {b} has no usable transition block"
     assert b % SUB == 0 and blk % SUB == 0
+    if tile3d and (b % 1024 or blk % 1024):
+        tile3d = False            # small-pool fallback to the 2-D layout
     c_all = b // SUB          # total 2-D columns
     cb = blk // SUB           # columns per block
     grid = b // blk
 
-    def r2(x):
-        """(B,) column -> (SUB, B/SUB)."""
-        return x.reshape(SUB, c_all)
+    if tile3d:
+        # 3-D (n, 8, 128) operand layout (round-20): a (B,) array stored
+        # T(1024) is physically a sequence of (8, 128) vregs, so this
+        # reshape is a FREE bitcast (0 copies, round20_tile3d_probe.py)
+        # while the 2-D (8, B/8) reshape below is a strided relayout
+        # (~60-75 us/super of reshape.12xx in the round-20 trace).  Same
+        # full-vreg Mosaic rate (9.21 vs 9.14 ns/lane-chain).  The lane ->
+        # position map differs from the 2-D layout, but inputs and outputs
+        # share it and the kernel is per-lane elementwise, so results are
+        # bit-identical either way.
+        n_t = b // 1024
+        k_t = blk // 1024
 
-    def rp(x):
-        """(R, B) plane -> (R*SUB, B/SUB); component r = rows [8r, 8r+8)."""
-        return x.reshape(x.shape[0] * SUB, c_all)
+        def r2(x):
+            """(B,) column -> (n, 8, 128)."""
+            return x.reshape(n_t, 8, 128)
 
-    def col():
-        return pl.BlockSpec((SUB, cb), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+        def rp(x):
+            """(R, B) plane -> (R, n, 8, 128); component r = [r]."""
+            return x.reshape(x.shape[0], n_t, 8, 128)
 
-    def plane(rows):
-        return pl.BlockSpec((rows * SUB, cb), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+        def col():
+            return pl.BlockSpec((k_t, 8, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
 
-    def cshape(dt):
-        return jax.ShapeDtypeStruct((SUB, c_all), dt)
+        def plane(rows):
+            return pl.BlockSpec((rows, k_t, 8, 128), lambda i: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
 
-    def pshape(rows):
-        return jax.ShapeDtypeStruct((rows * SUB, c_all), jnp.float32)
+        def cshape(dt):
+            return jax.ShapeDtypeStruct((n_t, 8, 128), dt)
+
+        def pshape(rows):
+            return jax.ShapeDtypeStruct((rows, n_t, 8, 128), jnp.float32)
+    else:
+        def r2(x):
+            """(B,) column -> (SUB, B/SUB)."""
+            return x.reshape(SUB, c_all)
+
+        def rp(x):
+            """(R, B) plane -> (R*SUB, B/SUB); component r = rows
+            [8r, 8r+8)."""
+            return x.reshape(x.shape[0] * SUB, c_all)
+
+        def col():
+            return pl.BlockSpec((SUB, cb), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def plane(rows):
+            return pl.BlockSpec((rows * SUB, cb), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def cshape(dt):
+            return jax.ShapeDtypeStruct((SUB, c_all), dt)
+
+        def pshape(rows):
+            return jax.ShapeDtypeStruct((rows * SUB, c_all), jnp.float32)
 
     i32, f32, u32 = jnp.int32, jnp.float32, jnp.uint32
     ffly = jnp.reshape(jnp.asarray(

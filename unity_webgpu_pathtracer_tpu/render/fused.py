@@ -1091,7 +1091,8 @@ def _transition_pallas(scene, config: RenderConfig, params: RenderParams,
         use_rr=config.use_russian_roulette, max_bounces=config.max_bounces,
         firefly=config.use_firefly_filter,
         firefly_max=params.max_firefly_luminance,
-        nan_canary=config.debug_nan_canary, interpret=interpret)
+        nan_canary=config.debug_nan_canary, interpret=interpret,
+        tile3d=bool(getattr(config, "ptrans_tile3d", False)))
 
     died = kout.died
     rad_out = kout.rad_outT.T
